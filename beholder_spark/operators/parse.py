@@ -1,0 +1,156 @@
+"""Parsers — field extraction (SURVEY.md §2.2 P1-P7).
+
+Beholder's ``parse syslog | regexp | json`` commands re-expressed as
+columnar stages. The syslog header parse is the one genuinely
+Python-shaped operator (two RFC grammars + fallbacks), so it runs as an
+Arrow-vectorized pandas UDF returning a struct column; regexp and JSON
+parse stay fully JVM-side (``regexp_extract`` / ``from_json`` — codegen'd,
+pushdown-friendly).
+
+SPEC parse_ok / keep-unparsed (P7 — reference default unverifiable,
+SURVEY.md §2.2): every parse stage emits ``parse_ok: boolean``. Default
+routing sends ``NOT parse_ok`` rows to a ``_unparsed`` quarantine route —
+never silent loss; ``keep_unparsed=True`` keeps them in-stream with NULL
+extracted fields.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# P1: parse syslog (RFC3164 + RFC5424) — vectorized pandas UDF
+# ---------------------------------------------------------------------------
+
+SYSLOG_FIELDS = ["facility", "severity", "host", "program", "pid", "message_id", "payload"]
+
+_SYSLOG_SCHEMA = T.StructType(
+    [T.StructField(f, T.StringType(), True) for f in SYSLOG_FIELDS]
+    + [T.StructField("parse_ok", T.BooleanType(), False)]
+)
+
+_RFC3164 = re.compile(
+    r"^<(?P<pri>\d{1,3})>"
+    r"(?P<ts>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+    r"(?P<host>\S+) "
+    r"(?P<program>[^\s:\[]+)(?:\[(?P<pid>\d+)\])?: "
+    r"(?P<msg>.*)$"
+)
+_RFC5424 = re.compile(
+    r"^<(?P<pri>\d{1,3})>1 "
+    r"(?P<ts>\S+) (?P<host>\S+) (?P<program>\S+) (?P<pid>\S+) (?P<msgid>\S+) "
+    r"(?:\[.*?\]|-) ?"
+    r"(?P<msg>.*)$"
+)
+
+
+def _parse_syslog_line(raw: bytes | str | None) -> tuple:
+    if raw is None:
+        return (None,) * 7 + (False,)
+    s = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
+    m = _RFC5424.match(s) or _RFC3164.match(s)
+    if m is None:
+        return (None,) * 7 + (False,)
+    g = m.groupdict()
+    pri = int(g["pri"])
+    if pri > 191:  # PRI out of RFC range → unparseable
+        return (None,) * 7 + (False,)
+    pid = g.get("pid")
+    msgid = g.get("msgid")
+    return (
+        str(pri // 8),
+        str(pri % 8),
+        g["host"],
+        g["program"],
+        None if pid in (None, "-") else pid,
+        None if msgid in (None, "-") else msgid,
+        g["msg"],
+        True,
+    )
+
+
+@F.pandas_udf(_SYSLOG_SCHEMA)
+def _syslog_udf(raw: pd.Series) -> pd.DataFrame:
+    rows = [_parse_syslog_line(v) for v in raw]
+    return pd.DataFrame(rows, columns=SYSLOG_FIELDS + ["parse_ok"])
+
+
+def parse_syslog(df: DataFrame, col: str = "raw", keep_unparsed: bool = False) -> DataFrame:
+    """P1 ``parse syslog``: header fields from RFC3164/RFC5424 lines.
+
+    One pandas-UDF stage → one struct column → ``select(struct.*)``; Arrow
+    moves the bytes in columnar batches, regexes are compiled once per
+    Python worker (module import), never per row.
+    """
+    out = df.withColumn("_sys", _syslog_udf(F.col(col))).select("*", "_sys.*").drop("_sys")
+    if not keep_unparsed:
+        out = out.filter(F.col("parse_ok"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P2: parse regexp — native regexp_extract (JVM, codegen)
+# ---------------------------------------------------------------------------
+
+
+def parse_regexp(df: DataFrame, col: str, pattern: str, groups: dict[str, int], keep_unparsed: bool = True) -> DataFrame:
+    """P2 ``parse regexp ~(?<name>...)~``: named groups become fields.
+
+    Java-regex-compatible patterns run entirely JVM-side: one
+    ``rlike`` predicate for ``parse_ok`` plus one ``regexp_extract`` per
+    group — all codegen'd in a single projection, zero Python.
+    ``groups`` maps field name → capture-group index.
+    """
+    out = df.withColumn("parse_ok", F.col(col).rlike(pattern))
+    for name, idx in groups.items():
+        out = out.withColumn(
+            name,
+            F.when(F.col("parse_ok"), F.regexp_extract(F.col(col), pattern, idx)).otherwise(F.lit(None)),
+        )
+    if not keep_unparsed:
+        out = out.filter(F.col("parse_ok"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P3: parse json — from_json with declared schema
+# ---------------------------------------------------------------------------
+
+
+def parse_json(df: DataFrame, col: str, schema: T.StructType | str, keep_unparsed: bool = True) -> DataFrame:
+    """P3 ``parse json``: one field per JSON key.
+
+    Declared schema → vectorized Jackson parse JVM-side. ``parse_ok`` is
+    NULL-struct detection (from_json yields NULL on malformed input when
+    the parse fails entirely).
+    """
+    out = df.withColumn("_j", F.from_json(F.col(col), schema))
+    out = out.withColumn("parse_ok", F.col("_j").isNotNull())
+    out = out.select("*", "_j.*").drop("_j")
+    if not keep_unparsed:
+        out = out.filter(F.col("parse_ok"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P5: parse each-field-as-message — row generator
+# ---------------------------------------------------------------------------
+
+
+def each_field_as_message(df: DataFrame, fields: list[str], id_cols: list[str]) -> DataFrame:
+    """P5: explode one message into N (key, value) messages.
+
+    ``stack``-shaped via explode over a map literal — a generator in the
+    physical plan, no shuffle, no Python.
+    """
+    pairs: list[Column] = []
+    for f in fields:
+        pairs.append(F.lit(f))
+        pairs.append(F.col(f).cast("string"))
+    kv = F.explode(F.map_from_arrays(F.array(*pairs[::2]), F.array(*pairs[1::2])))
+    return df.select(*id_cols, kv.alias("key", "value"))

@@ -1,0 +1,49 @@
+"""Explicit skew handling (SURVEY.md §2.7 A10; BASELINE.json:14
+"partitioning / shuffle / skew handled explicitly").
+
+Web-page hosts and languages are Zipf-distributed: the hottest host can
+own a double-digit percent of all rows, so a naive groupBy(host) puts
+that host's entire 100-TB-scale slice on ONE reducer. Two mitigations,
+both deterministic (no rand() — reruns must produce identical plans):
+
+1. ``salted_count`` — two-phase aggregation: partial count on
+   (key, salt = pmod(xxhash64(fine_grain_col), S)), then final sum on key.
+   The first shuffle spreads each hot key over S reducers; the second
+   shuffle moves only S rows per key.
+2. AQE skew-join splitting is enabled in the session factory for the
+   join side of the problem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def add_salt(df: DataFrame, from_col: str, buckets: int = 32, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt from a fine-grained column (e.g. url within
+    host): pmod(xxhash64(col), buckets). Never rand() — lineage and
+    resume need stable partition assignment."""
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(from_col)), F.lit(buckets)))
+
+
+def salted_count(df: DataFrame, keys: list[str], salt_from: str, buckets: int = 32) -> DataFrame:
+    """Two-phase salted count-by-key, result identical to plain
+    ``groupBy(keys).count()`` (the oracle checks exactly that).
+
+    Phase 1 shuffle key = (keys, salt) → at most `buckets` partial rows
+    per hot key; phase 2 aggregates those partials — skew bounded by
+    construction. Spark's own partial aggregation already map-combines,
+    but a hot key still lands on one reducer for the FINAL aggregate;
+    salting bounds that reducer's input to `buckets` rows per key.
+    """
+    salted = add_salt(df, salt_from, buckets)
+    partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_pn"))
+    return partial.groupBy(*keys).agg(F.sum("_pn").cast("long").alias("n"))
+
+
+def repartition_salted(df: DataFrame, key: str, salt_from: str, partitions: int, buckets: int = 32) -> DataFrame:
+    """Salted repartition before a wide op: co-locates by (key, salt) so a
+    hot key spreads over `buckets` tasks instead of one."""
+    salted = add_salt(df, salt_from, buckets)
+    return salted.repartition(partitions, F.col(key), F.col("_salt"))
