@@ -122,16 +122,24 @@ def parse_regexp(df: DataFrame, col: str, pattern: str, groups: dict[str, int], 
 # ---------------------------------------------------------------------------
 
 
-def parse_json(df: DataFrame, col: str, schema: T.StructType | str, keep_unparsed: bool = True) -> DataFrame:
+def parse_json(df: DataFrame, col: str, schema: T.StructType, keep_unparsed: bool = True) -> DataFrame:
     """P3 ``parse json``: one field per JSON key.
 
-    Declared schema → vectorized Jackson parse JVM-side. ``parse_ok`` is
-    NULL-struct detection (from_json yields NULL on malformed input when
-    the parse fails entirely).
+    Declared schema → vectorized Jackson parse JVM-side. Malformed input
+    in PERMISSIVE mode yields a struct of NULL fields (not a NULL struct),
+    so ``parse_ok`` detection uses a corrupt-record column: NULL corrupt
+    record + NULL input both mean unparseable only when the input itself
+    was non-NULL.
     """
-    out = df.withColumn("_j", F.from_json(F.col(col), schema))
-    out = out.withColumn("parse_ok", F.col("_j").isNotNull())
-    out = out.select("*", "_j.*").drop("_j")
+    full = T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)])
+    out = df.withColumn(
+        "_j",
+        F.from_json(F.col(col), full, {"columnNameOfCorruptRecord": "_corrupt_record"}),
+    )
+    out = out.withColumn(
+        "parse_ok", F.col(col).isNotNull() & F.col("_j._corrupt_record").isNull()
+    )
+    out = out.select("*", *[f"_j.{f.name}" for f in schema.fields]).drop("_j")
     if not keep_unparsed:
         out = out.filter(F.col("parse_ok"))
     return out

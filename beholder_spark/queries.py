@@ -55,3 +55,324 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def flagship_stats_by_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beholder-stats analogue: messages per type per hour (SURVEY §2.7 A2+A3)."""
     return agg.stats_counts(_t(spark, sf_dir, "events"), ["event_type"], ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# P3: parse json (events.props)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "parse_json_props",
+    """
+    SELECT (props->>'$.k')::BIGINT % 10 AS k_mod, count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: from_json with declared schema + corrupt-record parse_ok."""
+    df = parse.parse_json(
+        _t(spark, sf_dir, "events"), "props", T.StructType([T.StructField("k", T.LongType())])
+    )
+    return df.groupBy((F.col("k") % 10).alias("k_mod")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# P2: parse regexp — named-group extraction, JVM-side
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "parse_regexp_first_word",
+    r"""
+    SELECT regexp_extract(text, '^(\w+) (\w+)', 1) AS w1, count(*) AS n
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def parse_regexp_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: regexp_extract stays in whole-stage codegen (no Python)."""
+    df = parse.parse_regexp(
+        _t(spark, sf_dir, "documents"), "text", r"^(\w+) (\w+)", {"w1": 1, "w2": 2}
+    )
+    return (
+        df.withColumn("w1", F.coalesce("w1", F.lit("")))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 + F9: syslog serialize → parse roundtrip (pandas UDF hot path)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "parse_syslog_roundtrip",
+    """
+    SELECT CAST(event_id % 24 AS VARCHAR) AS facility,
+           CAST(event_id % 8 AS VARCHAR) AS severity,
+           'node' || CAST(user_id AS VARCHAR) AS host,
+           event_type AS program,
+           CAST(event_id AS VARCHAR) AS pid,
+           props AS payload,
+           event_id
+    FROM events
+    """,
+)
+def parse_syslog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/F9: serialize events to RFC3164 wire lines (set_syslog), parse
+    them back with the Arrow pandas-UDF syslog parser; fields must
+    roundtrip exactly. The oracle computes the expected fields directly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 24).cast("string").alias("fac"),
+        (F.col("event_id") % 8).cast("string").alias("sev"),
+        F.concat(F.lit("node"), F.col("user_id").cast("string")).alias("h"),
+        F.col("event_type").alias("prog"),
+        F.col("event_id").cast("string").alias("p"),
+        F.col("ts"),
+        F.col("props").alias("msg"),
+    )
+    wire = fields.set_syslog(ev, "raw", "fac", "sev", "ts", "h", "prog", "p", "msg")
+    parsed = parse.parse_syslog(wire.select("event_id", "raw"), "raw", keep_unparsed=False)
+    return parsed.select(
+        "facility", "severity", "host", "program", "pid", F.col("payload"), "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7: severity number → name
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "severity_names",
+    """
+    SELECT CASE event_id % 8
+             WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert' WHEN 2 THEN 'crit'
+             WHEN 3 THEN 'error' WHEN 4 THEN 'warning' WHEN 5 THEN 'notice'
+             WHEN 6 THEN 'info' ELSE 'debug' END AS sev_name,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def severity_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").withColumn("sev", (F.col("event_id") % 8).cast("string"))
+    df = fields.set_severity_name(df, "sev_name", "sev")
+    return df.groupBy("sev_name").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# R1/R3: switch/case first-match-wins routing
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "route_switch_lang",
+    """
+    SELECT CASE
+             WHEN regexp_matches(text, 'spark (table|query)') THEN 'sparky'
+             WHEN lang = 'en' THEN 'english'
+             WHEN lang IN ('de', 'fr', 'es') THEN 'euro'
+             ELSE '_unmatched' END AS route,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def route_switch_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: ordered when() chain == Beholder first-match-wins case order;
+    R3: explicit _unmatched quarantine route, never silent drop."""
+    df = route.switch(
+        _t(spark, sf_dir, "documents"),
+        [
+            (F.col("text").rlike("spark (table|query)"), "sparky"),
+            (F.col("lang") == "en", "english"),
+            (F.col("lang").isin("de", "fr", "es"), "euro"),
+        ],
+    )
+    return df.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "route_case_capture",
+    r"""
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 'english' ELSE '_unmatched' END AS route,
+           CASE WHEN lang = 'en' THEN regexp_extract(text, '^(\w+) (\w+)', 2)
+                ELSE NULL END AS second_word
+    FROM documents
+    """,
+)
+def route_case_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: capture groups extracted only inside the matched case."""
+    df = route.switch(_t(spark, sf_dir, "documents"), [(F.col("lang") == "en", "english")])
+    df = route.case_capture(df, "text", r"^(\w+) (\w+)", {"second_word": 2}, route_value="english")
+    return df.select("doc_id", "route", "second_word")
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F8/F11/F12: set-family + keep/drop
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "set_template_json",
+    """
+    SELECT c_custkey,
+           printf('%s [%s]', c_name, c_mktsegment) AS greeting,
+           '{"c_custkey":' || CAST(c_custkey AS VARCHAR) || ',"c_nationkey":'
+               || CAST(c_nationkey AS VARCHAR) || '}' AS js
+    FROM customer
+    """,
+)
+def set_template_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 template interpolation + F8 to_json serialization."""
+    df = _t(spark, sf_dir, "customer")
+    df = fields.set_template(df, "greeting", "%s [%s]", "c_name", "c_mktsegment")
+    df = fields.set_json(df, "js", "c_custkey", "c_nationkey")
+    return df.select("c_custkey", "greeting", "js")
+
+
+@_register(
+    "set_replace_keep_drop",
+    r"""
+    SELECT doc_id, lang,
+           substr(regexp_replace(text, '[aeiou]', '*', 'g'), 1, 30) AS masked
+    FROM documents
+    WHERE n_chars > 200
+    """,
+)
+def set_replace_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 regex substitution + F11 keep-projection + F12 drop-filter."""
+    df = _t(spark, sf_dir, "documents")
+    df = fields.drop_when(df, F.col("n_chars") <= 200)
+    df = fields.set_replace(df, "masked", "[aeiou]", "*", src="text")
+    df = df.withColumn("masked", F.substring("masked", 1, 30))
+    return fields.keep(df, "doc_id", "lang", "masked")
+
+
+# ---------------------------------------------------------------------------
+# A1: broadcast lookup enrichment
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "enrich_broadcast_geo",
+    """
+    SELECT r.r_name AS region, count(*) AS n,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def enrich_broadcast_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: two chained broadcast hash-joins — the fact side never shuffles
+    for the join; only the final aggregate exchanges (key→partial) rows."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = enrich.enrich_lookup(
+        enrich.enrich_lookup(c, n, on=c.c_nationkey == n.n_nationkey, how="inner"),
+        r,
+        on=n.n_regionkey == r.r_regionkey,
+        how="inner",
+    )
+    return joined.groupBy(F.col("r_name").alias("region")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal")
+    )
+
+
+@_register(
+    "enrich_left_missing",
+    """
+    SELECT d.source, m.grp, count(*) AS n
+    FROM documents d
+    LEFT JOIN (VALUES ('src0', 'alpha'), ('src1', 'beta'), ('src2', 'alpha')) AS m(source, grp)
+      ON d.source = m.source
+    GROUP BY d.source, m.grp
+    """,
+)
+def enrich_left_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 left-join NULL semantics: missing lookup rows keep the message
+    with NULL enrichment (Beholder dynamic-field model)."""
+    d = _t(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(
+        [("src0", "alpha"), ("src1", "beta"), ("src2", "alpha")], ["source", "grp"]
+    )
+    return enrich.enrich_lookup(d, dim, on="source").groupBy("source", "grp").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: semi/anti joins (resume filter)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "anti_orders_without_lineitems",
+    """
+    SELECT o.o_orderstatus, count(*) AS n
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def anti_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 anti-join: the resume filter shape (skip completed partitions)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        enrich.filter_processed(o, li, on="o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "semi_orders_with_lineitems",
+    """
+    SELECT count(*) AS n
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def semi_orders_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return enrich.filter_known(o, li, on="o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# S6/C3: union of sources
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "union_sources_counts",
+    """
+    SELECT kind, count(*) AS n, count(DISTINCT id) AS n_ids
+    FROM (
+      SELECT 'events' AS kind, event_id AS id FROM events
+      UNION ALL
+      SELECT 'documents' AS kind, doc_id AS id FROM documents
+    ) GROUP BY kind
+    """,
+)
+def union_sources_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: multiple `from` sources = unionByName (narrow, shuffle-free)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("events").alias("kind"), F.col("event_id").alias("id")
+    )
+    dc = _t(spark, sf_dir, "documents").select(
+        F.lit("documents").alias("kind"), F.col("doc_id").alias("id")
+    )
+    return (
+        union_sources(ev, dc)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("id").alias("n_ids"))
+    )
