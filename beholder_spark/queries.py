@@ -376,3 +376,241 @@ def union_sources_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("kind")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("id").alias("n_ids"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A3/A4/A5: time buckets, distinct counts, top-k
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "time_bucket_day",
+    """
+    SELECT date_trunc('day', ts) AS bucket, count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def time_bucket_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4: day bucket + exact distinct per bucket."""
+    df = agg.time_bucket(_t(spark, sf_dir, "events"), "ts", "day")
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@_register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.distinct_count(_t(spark, sf_dir, "events"), ["event_type"], "user_id")
+
+
+@_register(
+    "topk_event_types",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type ASC LIMIT 3
+    """,
+)
+def topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 global top-k: agg first, sort only the (tiny) aggregate."""
+    return agg.top_k_global(_t(spark, sf_dir, "events"), "event_type", 3)
+
+
+@_register(
+    "topk_source_per_lang",
+    """
+    SELECT lang, source, n, rank FROM (
+      SELECT lang, source, count(*) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source ASC) AS rank
+      FROM documents GROUP BY lang, source
+    ) WHERE rank <= 2
+    """,
+)
+def topk_source_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 per-group top-k: window over pre-aggregated slice, no global sort."""
+    return agg.top_k_per_group(_t(spark, sf_dir, "documents"), "lang", "source", 2)
+
+
+# ---------------------------------------------------------------------------
+# A6: deterministic dedup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: keep-latest-per-key with pinned total order (CC re-crawl rule)."""
+    df = agg.dedup_latest(_t(spark, sf_dir, "events"), "user_id", "ts", tiebreak="event_id")
+    return df.select("user_id", "event_id", "event_type")
+
+
+@_register(
+    "dedup_exact_texts",
+    """
+    SELECT min(doc_id) AS first_doc, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content: hash-groupBy on the text key (scale path:
+    group on xxhash64(text) so the shuffle carries 8 bytes, not the doc)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_copies"))
+        .select("first_doc", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rollup_lang_source",
+    """
+    SELECT lang, source, count(*) AS n
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: hierarchical subtotals in one pass (expand + hash agg)."""
+    return agg.rollup_counts(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Window: running totals
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "running_total_per_user",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+    FROM events
+    """,
+)
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed cumulative volume per user (ops view)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("running")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10: salted aggregation (result == plain groupBy — the oracle proves it)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "salted_count_by_type",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def salted_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: two-phase salted count — identical result to groupBy().count(),
+    but a hot key's final reduce reads ≤32 partial rows instead of all."""
+    return skew.salted_count(_t(spark, sf_dir, "events"), ["event_type"], salt_from="event_id")
+
+
+# ---------------------------------------------------------------------------
+# P5: each-field-as-message
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "each_field_as_message_counts",
+    """
+    SELECT key, count(*) AS n, count(DISTINCT value) AS n_values
+    FROM (
+      SELECT 'event_type' AS key, event_type AS value FROM events
+      UNION ALL
+      SELECT 'user_id' AS key, CAST(user_id AS VARCHAR) AS value FROM events
+    ) GROUP BY key
+    """,
+)
+def each_field_as_message_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: explode message fields into (key,value) messages (generator,
+    no shuffle until the final count)."""
+    kv = parse.each_field_as_message(
+        _t(spark, sf_dir, "events"), ["event_type", "user_id"], id_cols=["event_id"]
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("value").alias("n_values")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped general aggregation/join proof
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "top_orders_by_revenue",
+    """
+    SELECT o.o_orderkey, c.c_mktsegment,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, c.c_mktsegment
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = c.join(o, c.c_custkey == o.o_custkey).join(li, li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy("o_orderkey", "c_mktsegment")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
