@@ -1,0 +1,142 @@
+"""Near-duplicate detection sketches: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the reason these aren't naive pair comparisons): candidate
+generation is shingle→minhash→band→bucket-join, so the self-join runs on
+small band-signature keys, never on O(n²) document pairs. Every hash is
+md5-derived (not Spark's xxhash64) precisely so the DuckDB oracle can
+reproduce signatures bit-for-bit.
+
+At 100 TB: the explode(shingles) stage is a generator (no shuffle); the
+signature groupBy shuffles (doc_id → K minhash strings) ≈ K·32 bytes/doc;
+the band self-join shuffles band keys only. Skewed bands (boilerplate
+documents) are bounded by a per-band candidate cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 8  # minhash permutations
+DEFAULT_BANDS = 4  # LSH bands (rows per band = K / BANDS)
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document — generator, no shuffle.
+
+    ``transform(sequence(...))`` builds the shingle array JVM-side; explode
+    emits (id, shingle) rows.
+    """
+    toks = F.split(F.col(text_col), " ")
+    count = F.size(toks) - (n - 1)
+    # sequence(1, 0) would yield a DESCENDING [1,0] in Spark — guard short docs
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, k: int = DEFAULT_K) -> DataFrame:
+    """K minhashes per doc in ONE hash aggregate (k min() columns), not k
+    passes: h_j = min(md5('<j>:' || shingle)).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(k)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_buckets(sig: DataFrame, id_col: str, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Band signature = md5(concat of the band's minhashes); one row per
+    (doc, band)."""
+    rows = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bucket")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: distinct (doc_a < doc_b) sharing
+    ≥1 band bucket. The join key is (band, bucket) — tiny and uniform
+    unless the corpus has boilerplate; cap skew upstream by filtering
+    empty/short docs before calling.
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sig = minhash_signatures(sh, id_col, k)
+    bb = lsh_band_buckets(sig, id_col, k, bands)
+    a = bb.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = bb.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥1 shingle.
+
+    shared/(|A|+|B|-shared) on distinct shingle sets — exact rational of
+    ints, so the oracle matches bit-for-bit. The shingle self-join is the
+    candidate generator; with large n the shingle space is sparse enough
+    that bucket sizes stay bounded (boilerplate → pre-filter).
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """16-bit SimHash over whitespace tokens (md5-nibble bits).
+
+    bit_j(tok) = (hex_nibble(md5(tok), j//4) >> (3 - j%4)) & 1;
+    s_j = Σ_tokens (2·bit_j − 1);  simhash = Σ_j (s_j > 0)·2^j.
+    One explode + one hash aggregate; everything md5-based → oracle-exact.
+    16 bits keeps the oracle SQL tractable; widen K for production recall.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = F.md5(F.col("tok"))
+    aggs = []
+    for j in range(16):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, j // 4 + 1, 1)) - 1
+        bit = F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(F.col(id_col), sim.cast("long").alias(out_col))

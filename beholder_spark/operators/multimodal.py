@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct.
+The Spark-side plumbing (schema, Arrow batch shape, mapInPandas
+signature, partitioning) is real and tested; the actual codec decode is
+STUBBED — the container has no image/audio libs — behind
+``_decode_stub`` which derives deterministic fake metadata from the
+bytes themselves, so oracles and tests stay exact. Swap ``_decode_stub``
+for a real decoder (PIL/ffmpeg) in production; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+    ]
+)
+
+
+def _decode_stub(payload: bytes | None) -> tuple:
+    """Deterministic fake decode: metadata derived from byte length/content.
+
+    Real implementation would be e.g. PIL.Image.open(BytesIO(payload));
+    raise NotImplementedError there if codecs are mandatory. The stub
+    keeps the full Arrow round-trip testable without codec libs.
+    """
+    if payload is None or len(payload) == 0:
+        return (0 if payload is not None else None, None, None, None)
+    n = len(payload)
+    return (n, n % 640 + 1, (n * 7) % 480 + 1, "stub/raw")
+
+
+def decode_binary(df: DataFrame, bin_col: str, out_prefix: str = "img_") -> DataFrame:
+    """Decode/feature-extract over binary column via mapInPandas.
+
+    mapInPandas (not a scalar UDF) because real decoders want batch-level
+    amortization (shared codec contexts) and may change row multiplicity
+    (e.g. video frame sampling). Arrow batches bound worker memory.
+    """
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [T.StructField(out_prefix + f.name, f.dataType, True) for f in DECODED_SCHEMA.fields]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf[bin_col].map(_decode_stub)
+            for i, f in enumerate(DECODED_SCHEMA.fields):
+                pdf[out_prefix + f.name] = decoded.map(lambda t, i=i: t[i])
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def sample_frames(df: DataFrame, bin_col: str, id_col: str, every_n_bytes: int = 1000) -> DataFrame:
+    """Frame-sampling shape: one input row → N output rows (one per fake
+    'frame' = every_n_bytes chunk). Demonstrates multiplicity-changing
+    mapInPandas; a real video sampler has the same signature.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("frame_no", T.LongType(), False),
+            T.StructField("frame_bytes", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[bin_col]
+                n = len(payload) if payload is not None else 0
+                n_frames = max(1, n // every_n_bytes) if n else 0
+                for f in range(n_frames):
+                    rows.append((r[id_col], f, min(every_n_bytes, n - f * every_n_bytes)))
+            yield pd.DataFrame(rows, columns=["id", "frame_no", "frame_bytes"])
+
+    return df.mapInPandas(batches, out_schema)

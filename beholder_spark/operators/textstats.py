@@ -1,0 +1,104 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure column expressions (codegen'd, zero Python): at 100 TB these run
+inside the same whole-stage-codegen projection as the parse stage, so
+they add no extra pass over the data. Ratios are integer-division-derived
+doubles so the DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language (priority order = tie-break order).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "are"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "avec", "pour"],
+    "es": ["el", "los", "y", "es", "no", "con", "para"],
+    "ru": ["и", "в", "не", "на", "что", "это", "как", "по"],
+}
+
+# BPE-ish token regex: letter runs, digit runs, else single non-space char.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def _tokens(col: str) -> Column:
+    return F.split(F.col(col), " ")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex token count."""
+    toks = _tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX)))
+        .withColumn("n_chars_text", F.length(F.col(text_col)))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: stopword ratio + mean token length + bucket.
+
+    Ratios are (int / int) in double — deterministic bits on any engine.
+    """
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    stop = LANG_MARKERS["en"]
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(stop)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    df = (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("stop_ratio", F.round(n_stop / n_tok, 4))
+        .withColumn("mean_tok_len", F.round(n_alpha / n_tok, 4))
+    )
+    return df.withColumn(
+        "quality_bucket",
+        F.when(F.col("n_tokens") < 30, "short")
+        .when(F.col("stop_ratio") > 0.15, "fluent")
+        .otherwise("listy"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "detected") -> DataFrame:
+    """N-gram/marker-word language ID heuristic.
+
+    Scores each language by marker-token hits; winner by fixed priority
+    order (en→de→fr→es→ru) on >= comparison; all-zero → 'other'.
+    """
+    toks = _tokens(text_col)
+
+    def _score(markers: list[str]) -> Column:
+        # NB: the lambda must be unary — F.filter passes (element, index)
+        # to two-parameter lambdas, so a `m=m` default would bind the index
+        return F.size(F.filter(toks, lambda w: w.isin(markers)))
+
+    scores = {lang: _score(m) for lang, m in LANG_MARKERS.items()}
+    df = df.withColumn("_toks", toks)
+    for lang, sc in scores.items():
+        df = df.withColumn(f"_s_{lang}", sc)
+    langs = list(LANG_MARKERS)
+    total = sum((F.col(f"_s_{la}") for la in langs[1:]), F.col(f"_s_{langs[0]}"))
+    expr = F.when(total == 0, F.lit("other"))
+    for i, la in enumerate(langs):
+        cond = None
+        for other in langs:
+            if other == la:
+                continue
+            c = F.col(f"_s_{la}") >= F.col(f"_s_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = expr.when(cond, F.lit(la))
+    df = df.withColumn(out_col, expr)
+    return df.drop("_toks", *[f"_s_{la}" for la in langs])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+
+    The cheap exact-dup key: dedup shuffles 32 hex bytes per row instead
+    of the document body.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(norm))

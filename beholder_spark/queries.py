@@ -614,3 +614,292 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text analysis (SURVEY.md §2.8 extension surface)
+# ---------------------------------------------------------------------------
+
+from beholder_spark.operators import dedup as dd  # noqa: E402
+from beholder_spark.operators import multimodal, similarity, textstats  # noqa: E402
+
+_STOP = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS["en"])
+
+
+@_register(
+    "textstats_tokens",
+    rf"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '{textstats.TOKEN_REGEX}')) AS n_bpe_tokens,
+           length(text) AS n_chars_text
+    FROM documents
+    """,
+)
+def textstats_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex, all codegen'd."""
+    df = textstats.with_token_stats(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "n_tokens", "n_bpe_tokens", "n_chars_text")
+
+
+@_register(
+    "textstats_quality",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(len(list_filter(string_split(text, ' '), w -> w IN ({_STOP})))
+                   / len(string_split(text, ' ')), 4) AS stop_ratio,
+             round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 4) AS mean_tok_len
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, stop_ratio, mean_tok_len,
+           CASE WHEN n_tokens < 30 THEN 'short'
+                WHEN stop_ratio > 0.15 THEN 'fluent'
+                ELSE 'listy' END AS quality_bucket
+    FROM q
+    """,
+)
+def textstats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio / mean token length / bucket."""
+    df = textstats.with_quality(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "n_tokens", "stop_ratio", "mean_tok_len", "quality_bucket")
+
+
+def _langid_sql() -> str:
+    score_cols = ",\n             ".join(
+        "len(list_filter(toks, w -> w IN ({}))) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in ws), la
+        )
+        for la, ws in textstats.LANG_MARKERS.items()
+    )
+    langs = list(textstats.LANG_MARKERS)
+    total = " + ".join(f"s_{la}" for la in langs)
+    cases = []
+    for la in langs:
+        conds = " AND ".join(f"s_{la} >= s_{o}" for o in langs if o != la)
+        cases.append(f"WHEN {conds} THEN '{la}'")
+    case_sql = "\n               ".join(cases)
+    return f"""
+    WITH s AS (
+      SELECT lang, {score_cols}
+      FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT lang, CASE WHEN {total} = 0 THEN 'other'
+               {case_sql}
+               END AS detected,
+           count(*) AS n
+    FROM s GROUP BY lang, detected
+    """
+
+
+@_register("lang_id_confusion", _langid_sql())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic → confusion counts vs true lang."""
+    df = textstats.with_lang_id(_t(spark, sf_dir, "documents"))
+    return df.groupBy("lang", "detected").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "fingerprint_dups",
+    r"""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           count(*) AS n, min(doc_id) AS first_doc
+    FROM documents GROUP BY 1
+    """,
+)
+def fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text as the dedup key."""
+    df = textstats.with_fingerprint(_t(spark, sf_dir, "documents"))
+    return df.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup sketches: MinHash+LSH, SimHash, n-gram Jaccard
+# (near-dups injected in-query — doc_id<50 re-texted — so results are
+#  non-empty and BOTH engines construct identical corpora)
+# ---------------------------------------------------------------------------
+
+_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra token here' AS text
+      FROM documents WHERE doc_id < 50
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra token here")).alias("text"))
+    )
+    return d.unionByName(dups)
+
+
+def _minhash_sql(k: int = 8, bands: int = 4) -> str:
+    mins = ",\n             ".join(
+        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(k)
+    )
+    rows = k // bands
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b, concat=" || ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+           (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)
+    ),
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@_register("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join.
+    All hashing is md5-derived so the oracle reproduces signatures exactly."""
+    return dd.minhash_candidate_pairs(_corpus(spark, sf_dir), "doc_id", "text", shingle_n=3)
+
+
+def _jaccard_sql(n: int = 5, threshold: float = 0.5) -> str:
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+           (SELECT unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(shared / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= {threshold}
+    """
+
+
+@_register("dedup_ngram_jaccard", _jaccard_sql())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over shingle-sharing candidate pairs; the
+    ratio is int/int so both engines agree bit-for-bit."""
+    return dd.ngram_jaccard_pairs(_corpus(spark, sf_dir), "doc_id", "text", shingle_n=5, threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    sums = ",\n             ".join(
+        f"sum(2 * (((strpos('0123456789abcdef', substr(md5(tok), {j // 4 + 1}, 1)) - 1)"
+        f" >> {3 - j % 4}) & 1) - 1) AS s{j}"
+        for j in range(16)
+    )
+    assemble = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@_register("dedup_simhash16", _simhash_sql())
+def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (md5-nibble bit sampling)."""
+    return dd.simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    expl AS (
+      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS i FROM qv
+    ),
+    norms AS (SELECT vec_id, sum(x * x) AS n2 FROM expl GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.x * b.x) AS dot
+      FROM expl a JOIN expl b ON a.i = b.i
+      WHERE a.vec_id < 5 AND b.vec_id != a.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT qid, nid,
+             round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+      FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid
+    )
+    SELECT qid, nid, cosine, rank FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+
+@_register("embed_cosine_topk", _COSINE_SQL)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (quantized int dot products → both
+    engines agree exactly); broadcast query side, big side never shuffles."""
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_ids_max=5, k=3)
+
+
+@_register("embed_lsh_cosine_topk", None)  # approximate: rows-only check
+def embed_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: sign-LSH bucket join + exact rerank within bucket.
+    Approximate by construction (recall<1) → no SQL oracle; the exact
+    twin above is the correctness baseline."""
+    return similarity.lsh_cosine_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_ids_max=5, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing (decode stubbed; Arrow path real)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_decode_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS img_n_bytes,
+           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE octet_length(encode(text)) % 640 + 1 END AS img_width,
+           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE (octet_length(encode(text)) * 7) % 480 + 1 END AS img_height,
+           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE 'stub/raw' END AS img_format
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing via mapInPandas (stubbed codec): the
+    oracle checks the deterministic stub metadata byte-exactly."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = multimodal.decode_binary(d, "payload")
+    return out.select("doc_id", "img_n_bytes", "img_width", "img_height", "img_format")
