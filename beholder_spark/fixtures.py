@@ -107,7 +107,8 @@ def gen_pages(n_rows: int, seed: int = SEED) -> pa.Table:
         elif r < 0.008:
             html = b""
         elif r < 0.012:  # non-UTF8: latin-1 + truncated multibyte
-            html = ("<p>caf\xe9 " + _body_words(rng, lang, 5) + "</p>").encode("latin-1") + b"\xe2\x82"
+            # ascii body ("en") — ru words aren't latin-1 encodable
+            html = ("<p>caf\xe9 " + _body_words(rng, "en", 5) + "</p>").encode("latin-1") + b"\xe2\x82"
         elif r < 0.016:  # no-body document
             html = b"<html><head><title>t</title></head><body></body></html>"
         else:

@@ -1,0 +1,155 @@
+"""Pipeline spec compiler — our analogue of Beholder's config language
+(SURVEY.md §3.2 lifecycle, entry point 1).
+
+Beholder parses a config text into a command tree and interprets it per
+message; we compile a declarative stage list into DataFrame
+transformations and let Catalyst own the physical plan. One spec stage ≈
+one Beholder command:
+
+    spec = [
+      {"op": "parse_text", "src": "html", "dst": "text_out"},
+      {"op": "set_host", "url_col": "url"},
+      {"op": "enrich", "lookup": <df>, "on": "host"},
+      {"op": "set", "field": "tag", "template": "%s/%s", "cols": ["lang", "geo"]},
+      {"op": "keep", "fields": [...]},
+      {"op": "drop_when", "condition": <Column>},
+      {"op": "route", "cases": [(<Column>, "name"), ...]},
+    ]
+
+``compile_pipeline(df, spec)`` returns the transformed DataFrame; sinks
+and aggregates are separate stages because they are *actions* (see
+:func:`run_pages_pipeline` for the full parse→enrich→route→aggregate job
+with checkpoint/lineage).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beholder_spark.functions import extract_text_udf
+from beholder_spark.operators import fields as fo
+from beholder_spark.operators import route as ro
+from beholder_spark.operators.enrich import enrich_lookup
+from beholder_spark.plans import lineage as ln
+
+
+def _op_parse_text(df: DataFrame, st: dict) -> DataFrame:
+    """Beholder ``parse`` analogue for web pages: html bytes → text via
+    the Arrow pandas UDF, plus parse_ok (NULL text = unparseable)."""
+    out = df.withColumn(st.get("dst", "text_out"), extract_text_udf(F.col(st["src"])))
+    return out.withColumn("parse_ok", F.col(st.get("dst", "text_out")).isNotNull())
+
+
+OPS = {
+    "parse_text": _op_parse_text,
+    "set_host": lambda df, st: fo.set_host_from_url(df, st.get("field", "host"), st.get("url_col", "url")),
+    "set": lambda df, st: fo.set_template(df, st["field"], st["template"], *st["cols"]),
+    "set_replace": lambda df, st: fo.set_replace(df, st["field"], st["pattern"], st["replacement"], st.get("src")),
+    "set_date": lambda df, st: fo.set_date(df, st["field"], st["ts_col"], st.get("fmt", "yyyy-MM-dd'T'HH:mm:ssXXX")),
+    "keep": lambda df, st: fo.keep(df, *st["fields"]),
+    "unset": lambda df, st: fo.unset(df, *st["fields"]),
+    "drop_when": lambda df, st: fo.drop_when(df, st["condition"]),
+    "enrich": lambda df, st: enrich_lookup(df, st["lookup"], st["on"], st.get("how", "left")),
+    "route": lambda df, st: ro.switch(df, st["cases"], st.get("route_col", "route"), st.get("default", ro.UNMATCHED)),
+    "filter": lambda df, st: df.filter(st["condition"]),
+}
+
+
+def compile_pipeline(df: DataFrame, spec: list[dict[str, Any]]) -> DataFrame:
+    """Compile a stage list into one DataFrame expression DAG.
+
+    All stages fuse into as few physical stages as Catalyst can manage —
+    typically ONE codegen'd projection + the pandas-UDF exchange-free
+    stage. No shuffles are introduced here by construction.
+    """
+    for st in spec:
+        df = OPS[st["op"]](df, st)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# The flagship end-to-end job (BASELINE.json:6): CC-style pages →
+# parse → enrich → route → fan-out sinks → per-sink aggregates,
+# checkpointed per day-partition with lineage metrics.
+# ---------------------------------------------------------------------------
+
+def default_routes() -> list:
+    """First-match-wins, Beholder case order (built lazily — Column
+    construction needs an active session)."""
+    return [
+        (~F.col("parse_ok"), "_unparsed"),  # quarantine first
+        (F.col("category") == "spam", "spam"),
+        (F.col("lang") == "en", "en"),
+        (F.col("lang").isin("de", "fr", "es"), "euro"),
+    ]
+
+
+def pages_spec(lookup: DataFrame) -> list[dict[str, Any]]:
+    return [
+        {"op": "parse_text", "src": "html", "dst": "text_out"},
+        {"op": "set_host", "url_col": "url"},
+        {"op": "enrich", "lookup": lookup, "on": "host"},
+        {"op": "route", "cases": default_routes()},
+    ]
+
+
+def run_pages_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    lookup_path: str,
+    out_root: str,
+    checkpoint: bool = True,
+) -> dict[str, DataFrame]:
+    """Full parse→enrich→route→aggregate over the pages table.
+
+    Scale shape: the parse+enrich+route chain is ONE narrow pass (pandas
+    UDF + broadcast join + codegen'd projections — zero shuffles); the
+    fan-out is ONE partitionBy(route, day) write; aggregates shuffle only
+    (host, lang, bucket) partial counts. Skewed hosts are pre-salted via
+    AQE + the salted aggregate path in bench.
+    """
+    from beholder_spark.session import ship_package
+
+    ship_package(spark)  # pandas UDFs need the package on worker path
+    pages = spark.read.parquet(pages_path)
+    lookup = spark.read.parquet(lookup_path)
+
+    routed = compile_pipeline(pages, pages_spec(lookup))
+    routed = routed.withColumn("day", F.to_date(F.col("warc_ts")))
+
+    if checkpoint:
+        routed_tbl = ln.run_stage(
+            spark,
+            out_root,
+            "routed",
+            routed.drop("html"),  # sink carries extracted text, not raw bytes
+            partition_col="day",
+            partition_by=["route"],
+            extra_metrics={
+                "parse_failures": F.count_if(~F.col("parse_ok")),
+                "dropped": F.count_if(F.col("route") == ro.UNMATCHED),
+            },
+        )
+    else:
+        routed_tbl = routed.drop("html")
+        routed_tbl.write.mode("overwrite").partitionBy("day", "route").parquet(
+            os.path.join(out_root, "routed")
+        )
+        routed_tbl = spark.read.parquet(os.path.join(out_root, "routed"))
+
+    # per-sink aggregate counts: messages per (route, host, lang, hour)
+    counts = (
+        routed_tbl.withColumn("bucket", F.date_trunc("hour", F.col("warc_ts")))
+        .groupBy("route", "host", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts.write.mode("overwrite").parquet(os.path.join(out_root, "agg_counts"))
+
+    return {
+        "routed": routed_tbl,
+        "agg_counts": spark.read.parquet(os.path.join(out_root, "agg_counts")),
+    }

@@ -13,6 +13,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``beholder_spark`` importable in executor Python workers.
+
+    Pandas UDFs pickle by module reference; a session created by a host
+    application (driver, notebook) won't have the repo on the workers'
+    path. ``addPyFile`` of a package zip fixes that for any master —
+    the same mechanism as spark-submit --py-files. Idempotent per session.
+    """
+    if getattr(spark, "_beholder_pkg_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg)
+    fd, zip_path = tempfile.mkstemp(prefix="beholder_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zip_path)
+    spark._beholder_pkg_added = True
+
+
 def get_spark(
     app_name: str = "beholder-spark",
     master: str | None = None,
@@ -28,6 +55,14 @@ def get_spark(
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
+
+    # Executor Python workers must import beholder_spark even when the
+    # driver process started outside the repo (local mode inherits this
+    # env; on a cluster, spark-submit --py-files ships the package).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:

@@ -1,0 +1,92 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md §2.9).
+
+Beholder is a continuously-running daemon; the batch engine's streaming
+twin maps its sources onto ``readStream`` and its sinks onto
+``writeStream`` + ``foreachBatch``. The SAME stage compiler
+(:func:`beholder_spark.pipeline.compile_pipeline`) transforms the
+streaming DataFrame — one pipeline definition, two execution modes.
+
+Event-time semantics Beholder lacks (watermarks, tumbling windows) are
+exposed here because the aggregate layer needs them under unbounded
+input: ``windowed_counts`` = the stats command with late-data bounds.
+Sandbox testing uses ``trigger(availableNow=True)`` over parquet
+directories — identical code path to a Kafka source in production.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beholder_spark.pipeline import compile_pipeline
+
+
+def read_pages_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S1/S2 streaming scan: file source (one-file-per-trigger batching);
+    production swaps format('kafka') — downstream stages are unchanged."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """A2/A3 under unbounded input: watermarked tumbling-window counts.
+
+    The watermark bounds state: late rows beyond it are dropped (counted
+    by the streaming progress metrics — Beholder's overflow-drop
+    accounting analogue).
+    """
+    # watermarks require TIMESTAMP (ltz); parquet NTZ casts losslessly
+    # under the session's pinned UTC zone
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.window(F.col(ts_col), window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*keys, F.col("win.start").alias("bucket"), "n")
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    spec: list[dict[str, Any]],
+    out_path: str,
+    checkpoint_path: str,
+    route_col: str = "route",
+) -> None:
+    """Run the routed pipeline over all available input, then stop
+    (trigger availableNow) — the batch-equivalence test harness.
+
+    ``foreachBatch`` gives each micro-batch the full batch writer —
+    including partitionBy fan-out — with exactly-once bookkeeping from
+    the streaming checkpoint (the streaming twin of our manifest).
+    """
+    stream = read_pages_stream(spark, source_path, schema)
+    routed = compile_pipeline(stream, spec)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy(route_col).parquet(out_path)
+
+    q = (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str], ts_col: str, watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup: dropDuplicatesWithinWatermark bounds dedup state
+    to the watermark horizon (exact dedup over an unbounded stream would
+    need unbounded state)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

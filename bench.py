@@ -1,0 +1,185 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: run the headline workload at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print
+ONE JSON line::
+
+    {"metric": "...", "value": <docs/sec>, "unit": "docs/sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+The headline metric is end-to-end parse→enrich→route→aggregate docs/sec
+over a deterministic synthetic CC-style pages table (BASELINE.json:2);
+the ``queries`` dict adds per-operator seconds over the sf testdata.
+
+``--scaling`` mode runs the SAME pipeline at two parallelism levels
+(local[8] vs local[32]) in fresh subprocesses and reports throughput at
+both plus efficiency E = T32/(4·T8) — the sandbox evidence protocol for
+the N→4N ≥0.8 criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "120000"))
+PAGES_CACHE = f"/tmp/beholder_bench/pages_{BENCH_PAGES_ROWS}"
+LOOKUP_CACHE = "/tmp/beholder_bench/host_lookup"
+
+
+def ensure_bench_tables() -> tuple[str, str]:
+    """Deterministic synthetic pages table, cached across runs (the bench
+    measures the engine, not the generator)."""
+    from beholder_spark.fixtures import gen_host_lookup, gen_pages
+
+    import pyarrow.parquet as pq
+
+    os.makedirs("/tmp/beholder_bench", exist_ok=True)
+    if not os.path.exists(os.path.join(PAGES_CACHE, "_DONE")):
+        shutil.rmtree(PAGES_CACHE, ignore_errors=True)
+        os.makedirs(PAGES_CACHE, exist_ok=True)
+        # write in chunks → multiple row groups/files → parallel scan
+        chunk = 30000
+        for i, start in enumerate(range(0, BENCH_PAGES_ROWS, chunk)):
+            n = min(chunk, BENCH_PAGES_ROWS - start)
+            t = gen_pages(n, seed=42 + i)
+            pq.write_table(t, os.path.join(PAGES_CACHE, f"part-{i:04d}.parquet"))
+        open(os.path.join(PAGES_CACHE, "_DONE"), "w").close()
+    if not os.path.exists(os.path.join(LOOKUP_CACHE, "_DONE")):
+        shutil.rmtree(LOOKUP_CACHE, ignore_errors=True)
+        os.makedirs(LOOKUP_CACHE, exist_ok=True)
+        pq.write_table(gen_host_lookup(), os.path.join(LOOKUP_CACHE, "lookup.parquet"))
+        open(os.path.join(LOOKUP_CACHE, "_DONE"), "w").close()
+    return PAGES_CACHE, LOOKUP_CACHE
+
+
+def run_pipeline_once(spark, pages_path: str, lookup_path: str) -> tuple[float, int]:
+    """One full parse→enrich→route→aggregate pass; returns (sec, docs)."""
+    from beholder_spark.pipeline import run_pages_pipeline
+
+    out = "/tmp/beholder_bench/out"
+    shutil.rmtree(out, ignore_errors=True)
+    n = spark.read.parquet(pages_path).count()
+    t0 = time.monotonic()
+    run_pages_pipeline(spark, pages_path, lookup_path, out, checkpoint=False)
+    return time.monotonic() - t0, n
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Representative per-operator timings over the sf testdata."""
+    from beholder_spark.queries import QUERIES
+
+    names = [
+        "flagship_stats_by_type_hour",
+        "parse_syslog_roundtrip",
+        "route_switch_lang",
+        "enrich_broadcast_geo",
+        "tpch_q1_pricing",
+        "top_orders_by_revenue",
+        "salted_count_by_type",
+        "dedup_latest_event_per_user",
+        "dedup_minhash_lsh",
+        "dedup_simhash16",
+        "embed_cosine_topk",
+        "textstats_quality",
+        "lang_id_confusion",
+        "fingerprint_dups",
+    ]
+    times: dict[str, float] = {}
+    for name in names:
+        fn, _sql = QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main_bench() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from beholder_spark.session import get_spark
+
+    spark = get_spark("beholder-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    pages_path, lookup_path = ensure_bench_tables()
+
+    # warm the JVM/scan once, then measure
+    run_pipeline_once(spark, pages_path, lookup_path)
+    sec, docs = run_pipeline_once(spark, pages_path, lookup_path)
+    qtimes = run_queries(spark, sf_dir)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e parse→enrich→route→aggregate throughput",
+                "value": round(docs / sec, 1),
+                "unit": "docs/sec",
+                "pipeline_sec": round(sec, 2),
+                "pipeline_docs": docs,
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+def main_scaling_child(cores: int) -> None:
+    from beholder_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    pages_path, lookup_path = ensure_bench_tables()
+    run_pipeline_once(spark, pages_path, lookup_path)  # warm-up
+    runs = [run_pipeline_once(spark, pages_path, lookup_path) for _ in range(3)]
+    secs = sorted(s for s, _ in runs)
+    docs = runs[0][1]
+    print(json.dumps({"cores": cores, "median_sec": secs[1], "docs": docs, "runs_sec": secs}))
+
+
+def main_scaling() -> None:
+    """N vs 4N cores on the same input, fresh JVM each (fair caches)."""
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    t8 = results[8]["docs"] / results[8]["median_sec"]
+    t32 = results[32]["docs"] / results[32]["median_sec"]
+    eff = t32 / (4 * t8)
+    print(
+        json.dumps(
+            {
+                "docs": results[8]["docs"],
+                "docs_per_sec_local8": round(t8, 1),
+                "docs_per_sec_local32": round(t32, 1),
+                "median_sec_local8": results[8]["median_sec"],
+                "median_sec_local32": results[32]["median_sec"],
+                "runs_sec_local8": results[8]["runs_sec"],
+                "runs_sec_local32": results[32]["runs_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "pass": eff >= 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        main_scaling_child(int(sys.argv[2]))
+    else:
+        main_bench()

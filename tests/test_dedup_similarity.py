@@ -1,0 +1,87 @@
+"""Dedup sketches + similarity search behavior tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beholder_spark.operators import dedup, similarity
+from beholder_spark.operators.aggregate import dedup_latest
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, "completely different words about spark pipelines and shuffles here"),
+        (4, base),  # exact dup of 1
+        (5, "short text"),  # shorter than shingle width → no shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = dedup.minhash_candidate_pairs(_docs(spark), "doc_id", "text", shingle_n=3)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup always collides
+    assert (1, 2) in got  # near-dup shares band
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_values(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", shingle_n=3, threshold=0.3)
+    by = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert by[(1, 4)] == 1.0
+    assert 0.3 <= by[(1, 2)] < 1.0
+
+
+def test_simhash_near_dups_close(spark):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash16(_docs(spark), "doc_id", "text").collect()}
+    ham_dup = bin(sh[1] ^ sh[2]).count("1")
+    ham_diff = bin(sh[1] ^ sh[3]).count("1")
+    assert sh[1] == sh[4]  # exact dup → identical simhash
+    assert ham_dup <= ham_diff  # near-dup at least as close as unrelated
+
+
+def test_short_doc_has_no_shingles(spark):
+    sh = dedup.word_shingles(_docs(spark), "doc_id", "text", n=3)
+    assert sh.filter(F.col("doc_id") == 5).count() == 0
+
+
+def test_cosine_topk_self_structure(spark):
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [1.0, 0.05, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(df, "vec_id", "embedding", query_ids_max=1, k=3)
+    ranked = [r.nid for r in sorted(out.collect(), key=lambda r: r.rank)]
+    assert ranked[0] == 3 and ranked[1] == 1 and ranked[2] == 2
+    top = out.filter(F.col("rank") == 1).first()
+    assert abs(top.cosine - 1 / math.sqrt(1 + 0.05**2)) < 1e-3
+
+
+def test_lsh_topk_subset_of_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", query_ids_max=3, k=5)
+    approx = similarity.lsh_cosine_topk(emb, "vec_id", "embedding", query_ids_max=3, k=5)
+    exact_pairs = {(r.qid, r.nid) for r in exact.collect()}
+    approx_rows = approx.collect()
+    assert len(approx_rows) > 0
+    # bucketed candidates score identically where they overlap the exact set
+    exact_sc = {(r.qid, r.nid): r.cosine for r in exact.collect()}
+    for r in approx_rows:
+        if (r.qid, r.nid) in exact_sc:
+            assert exact_sc[(r.qid, r.nid)] == r.cosine
+
+
+def test_dedup_latest_deterministic(spark):
+    rows = [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-02 00:00:00", "b"),
+            (2, "2024-01-01 00:00:00", "c")]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.k: r.v for r in dedup_latest(df, "k", "ts", tiebreak="v").collect()}
+    assert out == {1: "b", 2: "c"}

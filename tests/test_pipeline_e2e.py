@@ -1,0 +1,129 @@
+"""End-to-end pipeline correctness — the three BASELINE.json:6 clauses:
+(a) byte-identical extracted text per url, (b) exact routed-row equality
+per sink, (c) per-sink aggregate counts — plus lineage + resume."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from beholder_spark.functions.textextract import extract_text
+from beholder_spark.pipeline import run_pages_pipeline
+from beholder_spark.plans import lineage as ln
+
+
+def _expected_routed(fixture_dir: str) -> pd.DataFrame:
+    """Independent (pure-pandas) reference of parse→enrich→route."""
+    pages = pq.read_table(f"{fixture_dir}/pages.parquet").to_pandas()
+    lookup = pq.read_table(f"{fixture_dir}/host_lookup.parquet").to_pandas()
+    pages["text_out"] = [extract_text(h) for h in pq.read_table(f"{fixture_dir}/pages.parquet").column("html").to_pylist()]
+    pages["parse_ok"] = pages["text_out"].notna()
+    pages["host"] = pages["url"].str.extract(r"https://([^/]+)/")[0]
+    merged = pages.merge(lookup, on="host", how="left")
+
+    def route_of(r):
+        if not r.parse_ok:
+            return "_unparsed"
+        if r.category == "spam":
+            return "spam"
+        if r.lang == "en":
+            return "en"
+        if r.lang in ("de", "fr", "es"):
+            return "euro"
+        return "_unmatched"
+
+    merged["route"] = [route_of(r) for r in merged.itertuples()]
+    return merged
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, fixture_dir, tmp_path_factory):
+    out_root = str(tmp_path_factory.mktemp("pipe"))
+    res = run_pages_pipeline(
+        spark,
+        f"{fixture_dir}/pages.parquet",
+        f"{fixture_dir}/host_lookup.parquet",
+        out_root,
+    )
+    return out_root, res
+
+
+def test_byte_identical_text(pipeline_out):
+    _, res = pipeline_out
+    routed = res["routed"]
+    bad = routed.filter(
+        ~(
+            (F.col("text").isNull() & F.col("text_out").isNull())
+            | (F.encode(F.col("text"), "UTF-8") == F.encode(F.col("text_out"), "UTF-8"))
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_exact_routed_rows_per_sink(pipeline_out, fixture_dir):
+    _, res = pipeline_out
+    got = (
+        res["routed"]
+        .select("url", "warc_ts", "route")
+        .toPandas()
+        .sort_values(["url", "warc_ts", "route"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _expected_routed(fixture_dir)[["url", "warc_ts", "route"]]
+        .sort_values(["url", "warc_ts", "route"])
+        .reset_index(drop=True)
+    )
+    got["warc_ts"] = got["warc_ts"].astype("datetime64[us]")
+    exp["warc_ts"] = exp["warc_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_per_sink_aggregate_counts(pipeline_out, fixture_dir):
+    _, res = pipeline_out
+    got = res["agg_counts"].toPandas()
+    exp_routed = _expected_routed(fixture_dir)
+    exp_routed["bucket"] = exp_routed["warc_ts"].dt.floor("h")
+    exp = (
+        exp_routed.groupby(["route", "host", "lang", "bucket"], dropna=False)
+        .size()
+        .reset_index(name="n")
+    )
+    key = ["route", "host", "lang", "bucket"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    got["bucket"] = got["bucket"].astype("datetime64[us]")
+    exp["bucket"] = exp["bucket"].astype("datetime64[us]")
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got[key + ["n"]], exp[key + ["n"]], check_dtype=False)
+
+
+def test_lineage_metrics(pipeline_out, spark):
+    out_root, _ = pipeline_out
+    lin = ln.read_lineage(spark, out_root).toPandas()
+    assert set(lin.stage) == {"routed"}
+    row = lin.iloc[0]
+    assert row.rows_out == 2000
+    assert row.parse_failures > 0  # NULL-html rows exist by construction
+    assert row.n_partitions > 0
+    manifest = ln.read_manifest(spark, out_root).toPandas()
+    assert len(manifest) == row.n_partitions
+
+
+def test_resume_skips_completed_partitions(pipeline_out, spark, fixture_dir):
+    """Second run over the same input: every partition is in the manifest,
+    so the stage writes 0 rows (resumable without recomputation)."""
+    out_root, _ = pipeline_out
+    res2 = run_pages_pipeline(
+        spark,
+        f"{fixture_dir}/pages.parquet",
+        f"{fixture_dir}/host_lookup.parquet",
+        out_root,
+    )
+    lin = ln.read_lineage(spark, out_root).toPandas().sort_values("run_id")
+    assert len(lin) == 2
+    assert sorted(lin.rows_out.tolist()) == [0, 2000]
+    # and the routed table did not grow
+    assert res2["routed"].count() == 2000

@@ -1,0 +1,86 @@
+"""Fan-out sink strategies + Structured Streaming twin."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from beholder_spark import sinks
+from beholder_spark.operators import route
+
+
+def _routed(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "xx")) for i in range(30)],
+        ["id", "lang"],
+    )
+    return route.switch(df, [(F.col("lang") == "en", "en"), (F.col("lang") == "de", "euro")])
+
+
+def test_fanout_single_pass(spark, tmp_path):
+    out = str(tmp_path / "fan1")
+    sinks.write_fanout_single_pass(_routed(spark), out)
+    back = spark.read.parquet(out)
+    got = {r.route: r.n for r in back.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"en": 10, "euro": 10, route.UNMATCHED: 10}
+
+
+def test_fanout_branches_equal_single_pass(spark, tmp_path):
+    routed = _routed(spark)
+    sinks.write_fanout_branches(
+        routed,
+        {"en": str(tmp_path / "b_en"), "euro": str(tmp_path / "b_euro")},
+    )
+    assert spark.read.parquet(str(tmp_path / "b_en")).count() == 10
+    assert spark.read.parquet(str(tmp_path / "b_euro")).count() == 10
+
+
+def test_streaming_matches_batch(spark, fixture_dir, tmp_path):
+    """availableNow streaming run of the SAME compiled pipeline must land
+    exactly the batch row sets per route."""
+    from beholder_spark.pipeline import compile_pipeline, pages_spec
+    from beholder_spark.streaming import run_stream_once
+
+    # streaming file source needs a directory — stage pages into one
+    pages_path = str(tmp_path / "pages_dir")
+    spark.read.parquet(f"{fixture_dir}/pages.parquet").write.parquet(pages_path)
+    lookup = spark.read.parquet(f"{fixture_dir}/host_lookup.parquet")
+    schema = spark.read.parquet(pages_path).schema
+    spec = pages_spec(lookup)
+
+    out = str(tmp_path / "stream_out")
+    run_stream_once(
+        spark, pages_path, schema, spec, out, str(tmp_path / "ckpt")
+    )
+    stream_counts = {
+        r.route: r.n
+        for r in spark.read.parquet(out).groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch = compile_pipeline(spark.read.parquet(pages_path), spec)
+    batch_counts = {
+        r.route: r.n for r in batch.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert stream_counts == batch_counts
+
+
+def test_streaming_windowed_counts(spark, fixture_dir, tmp_path):
+    from beholder_spark.streaming import read_pages_stream, windowed_counts
+
+    pages_path = str(tmp_path / "pages_dir2")
+    spark.read.parquet(f"{fixture_dir}/pages.parquet").write.parquet(pages_path)
+    schema = spark.read.parquet(pages_path).schema
+    stream = read_pages_stream(spark, pages_path, schema)
+    agg = windowed_counts(stream, ["lang"], ts_col="warc_ts", window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select sum(n) s from win_counts").first().s
+    # watermark may drop the deliberately-late rows (~0.5%); never exceeds input
+    total = spark.read.parquet(pages_path).count()
+    assert total * 0.99 <= got <= total
