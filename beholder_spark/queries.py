@@ -903,3 +903,113 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = multimodal.decode_binary(d, "payload")
     return out.select("doc_id", "img_n_bytes", "img_width", "img_height", "img_format")
+
+
+# ---------------------------------------------------------------------------
+# Remaining set-family + grouping shapes + multimodal sampling
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "set_date_format",
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour_str, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def set_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 ``set $f date``: column-derived time formatting (deterministic —
+    never current_timestamp in tested paths)."""
+    df = fields.set_date(_t(spark, sf_dir, "events"), "hour_str", "ts", "yyyy-MM-dd HH")
+    return df.groupBy("hour_str").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "set_basename",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             list_extract(string_split('/logs/' || source || '/file ' || CAST(doc_id AS VARCHAR) || '.log', '/'), -1),
+             '[^A-Za-z0-9._-]', '_', 'g') AS base
+    FROM documents
+    """,
+)
+def set_basename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 ``set $f basename``: last path segment, filename-sanitized."""
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "path",
+        F.concat(F.lit("/logs/"), F.col("source"), F.lit("/file "), F.col("doc_id").cast("string"), F.lit(".log")),
+    )
+    return fields.set_basename(df, "base", "path").select("doc_id", "base")
+
+
+@_register(
+    "cube_lang_source",
+    """
+    SELECT lang, source, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 cube: all grouping-set combinations in one pass."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@_register(
+    "pivot_type_by_day",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = conditional aggregation (one pass, no extra shuffle)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "error"])
+    )
+
+
+@_register("approx_distinct_users", None)  # HLL sketch differs per engine → rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 scale path: HLL approx_count_distinct (fixed memory, one pass).
+    Exact twin is distinct_users_by_type; sketches aren't cross-engine
+    comparable so this records a rows-only check."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_approx"))
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT b.doc_id AS id, f.frame_no,
+           least(1000, n - f.frame_no * 1000) AS frame_bytes
+    FROM b, LATERAL (
+      SELECT unnest(generate_series(0, CAST(greatest(n // 1000, 1) AS BIGINT) - 1)) AS frame_no
+    ) f
+    WHERE n > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling mapInPandas shape: 1 binary row → N frame rows."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return multimodal.sample_frames(d, "payload", "doc_id", every_n_bytes=1000)

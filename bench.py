@@ -44,8 +44,9 @@ def ensure_bench_tables() -> tuple[str, str]:
     if not os.path.exists(os.path.join(PAGES_CACHE, "_DONE")):
         shutil.rmtree(PAGES_CACHE, ignore_errors=True)
         os.makedirs(PAGES_CACHE, exist_ok=True)
-        # write in chunks → multiple row groups/files → parallel scan
-        chunk = 30000
+        # write in many files → scan parallelism ≥ max core count (a
+        # 4-file input would cap local[32] at 4 scan tasks)
+        chunk = max(2000, BENCH_PAGES_ROWS // 64)
         for i, start in enumerate(range(0, BENCH_PAGES_ROWS, chunk)):
             n = min(chunk, BENCH_PAGES_ROWS - start)
             t = gen_pages(n, seed=42 + i)
