@@ -83,3 +83,40 @@ def running_total(df: DataFrame, partition: str, order: str, value: str, out_col
     """Windowed running sum per entity (ops view: cumulative volume)."""
     w = Window.partitionBy(partition).orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: events of one `key` closer than
+    `gap_seconds` belong to one session.
+
+    Classic lag + cumulative-sum formulation — entirely JVM window
+    functions, ONE shuffle on `key`, no Python and no stateful UDF (the
+    streaming twin is ``session_window``). Returns one row per session:
+    (key, session_start, session_end, n_events). Deterministic total
+    order via the tiebreak column for equal timestamps.
+    """
+    order = [F.asc(ts_col)] + ([F.asc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    ts = F.col(ts_col).cast("timestamp")
+    prev = F.lag(ts).over(w)
+    new_sess = F.when(
+        prev.isNull() | (ts.cast("long") - prev.cast("long") > gap_seconds), 1
+    ).otherwise(0)
+    with_id = df.withColumn("_new", new_sess).withColumn(
+        "_sess", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_id.groupBy(key, "_sess")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumnRenamed("_sess", "session_id")
+    )

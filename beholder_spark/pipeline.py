@@ -121,12 +121,17 @@ def run_pages_pipeline(
     routed = compile_pipeline(pages, pages_spec(lookup))
     routed = routed.withColumn("day", F.to_date(F.col("warc_ts")))
 
+    # Sink hygiene at 100 TB: the routed table carries the pipeline's
+    # OUTPUT (text_out), never the raw html bytes nor the input's golden
+    # text column — persisting either would double sink bytes for data
+    # already durable in the input table.
+    sink_drop = [c for c in ("html", "text") if c in routed.columns]
     if checkpoint:
         routed_tbl = ln.run_stage(
             spark,
             out_root,
             "routed",
-            routed.drop("html"),  # sink carries extracted text, not raw bytes
+            routed.drop(*sink_drop),
             partition_col="day",
             partition_by=["route"],
             extra_metrics={
@@ -135,7 +140,7 @@ def run_pages_pipeline(
             },
         )
     else:
-        routed_tbl = routed.drop("html")
+        routed_tbl = routed.drop(*sink_drop)
         routed_tbl.write.mode("overwrite").partitionBy("day", "route").parquet(
             os.path.join(out_root, "routed")
         )

@@ -522,6 +522,40 @@ def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sessionize_user_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS newsess
+      FROM ordered
+    ),
+    ids AS (
+      SELECT user_id, ts,
+             CAST(sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + cumulative sum — pure
+    JVM window functions, one shuffle on user_id; ``session_window`` is
+    the streaming twin."""
+    return agg.sessionize(
+        _t(spark, sf_dir, "events"), "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
+    ).select("user_id", "session_id", "session_start", "session_end", "n_events")
+
+
 # ---------------------------------------------------------------------------
 # A10: salted aggregation (result == plain groupBy — the oracle proves it)
 # ---------------------------------------------------------------------------
@@ -866,6 +900,48 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k (quantized int dot products → both
     engines agree exactly); broadcast query side, big side never shuffles."""
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_ids_max=5, k=3)
+
+
+_COSINE_NEARDUP_SQL = """
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    expl AS (
+      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS i FROM qv
+    ),
+    norms AS (SELECT vec_id, sum(x * x) AS n2 FROM expl GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, sum(a.x * b.x) AS dot
+      FROM expl a JOIN expl b ON a.i = b.i
+      WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT doc_a, doc_b,
+             round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+      FROM dots JOIN norms na ON na.vec_id = doc_a JOIN norms nb ON nb.vec_id = doc_b
+    ) WHERE cosine >= 0.42
+"""
+
+
+@_register("dedup_embedding_cosine", _COSINE_NEARDUP_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (quantized-int exact arithmetic);
+    broadcast self-join candidate generation, LSH-bucketed at scale."""
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.42
+    )
+
+
+@_register("embed_ivf_cosine_topk", None)  # approximate: rows-only check
+def embed_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (deterministic pseudo-centroids, n_probe=2 cells,
+    exact rerank within probed cells); rows-only — the exact twin is
+    embed_cosine_topk."""
+    return similarity.ivf_cosine_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_ids_max=5, k=3
+    )
 
 
 @_register("embed_lsh_cosine_topk", None)  # approximate: rows-only check

@@ -188,6 +188,11 @@ def main_scaling_child(cores: int) -> None:
     )
 
 
+SCALING_CORES = tuple(
+    int(c) for c in os.environ.get("SCALING_CORES", "8,32").split(",")
+)
+
+
 def main_scaling() -> None:
     """N vs 4N cores on the same input, fresh JVM each (fair caches).
 
@@ -195,12 +200,28 @@ def main_scaling() -> None:
     virtio disk has exogenous host IO contention (observed 3-4× swings on
     identical runs), which is additive noise: the min is the engine's
     capability; the median includes the environment.
+
+    ``SCALING_CORES=4,16`` selects an alternative N,4N pair. Rationale:
+    each Spark core drives BOTH a JVM task thread and an Arrow Python
+    worker process, so local[32] on a 32-core host schedules ~50-60
+    runnable threads — host oversubscription that a real 4N-executor
+    cluster does not have. The (4,16) pair keeps both ends within the
+    host (16 workers + ~10 JVM threads < 32 cores) and is the faithful
+    sandbox proxy for the N→4N criterion.
     """
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     results = {}
-    for cores in (8, 32):
+    for cores in SCALING_CORES:
+        # Confine the whole process tree (JVM + Arrow Python workers) to
+        # exactly `cores` CPUs — emulating an executor HOST of that size.
+        # Without this, local[N] borrows the machine's idle cores for GC /
+        # Arrow IPC / parquet encode threads, flattering T_N and making
+        # the N→4N ratio meaningless as a cluster proxy.
+        affinity = ["taskset", "-c", f"0-{cores - 1}"] if os.environ.get(
+            "SCALING_AFFINITY", "1"
+        ) == "1" else []
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)],
+            [*affinity, sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)],
             capture_output=True,
             text=True,
             check=True,
@@ -208,27 +229,30 @@ def main_scaling() -> None:
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cores] = json.loads(line)
-    docs = results[8]["docs"]
+    n, n4 = SCALING_CORES
+    ratio = n4 / n
+    docs = results[n]["docs"]
 
     def eff(key: str) -> tuple[float, float, float]:
-        t8 = docs / results[8][key]
-        t32 = docs / results[32][key]
-        return round(t8, 1), round(t32, 1), round(t32 / (4 * t8), 3)
+        tn = docs / results[n][key]
+        tn4 = docs / results[n4][key]
+        return round(tn, 1), round(tn4, 1), round(tn4 / (ratio * tn), 3)
 
-    t8m, t32m, eff_median = eff("median_sec")
-    t8b, t32b, eff_min = eff("min_sec")
+    tnm, tn4m, eff_median = eff("median_sec")
+    tnb, tn4b, eff_min = eff("min_sec")
     print(
         json.dumps(
             {
                 "docs": docs,
-                "docs_per_sec_local8_median": t8m,
-                "docs_per_sec_local32_median": t32m,
+                "cores": list(SCALING_CORES),
+                f"docs_per_sec_local{n}_median": tnm,
+                f"docs_per_sec_local{n4}_median": tn4m,
                 "scaling_efficiency_median": eff_median,
-                "docs_per_sec_local8_best": t8b,
-                "docs_per_sec_local32_best": t32b,
+                f"docs_per_sec_local{n}_best": tnb,
+                f"docs_per_sec_local{n4}_best": tn4b,
                 "scaling_efficiency_best": eff_min,
-                "runs_sec_local8": results[8]["runs_sec"],
-                "runs_sec_local32": results[32]["runs_sec"],
+                f"runs_sec_local{n}": results[n]["runs_sec"],
+                f"runs_sec_local{n4}": results[n4]["runs_sec"],
                 "pass": eff_min >= 0.8,
             }
         )

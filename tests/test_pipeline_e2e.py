@@ -50,9 +50,13 @@ def pipeline_out(spark, fixture_dir, tmp_path_factory):
     return out_root, res
 
 
-def test_byte_identical_text(pipeline_out):
+def test_byte_identical_text(pipeline_out, spark, fixture_dir):
+    """Sink text_out vs the input table's golden text, joined on url —
+    the sink itself no longer persists the input column (sink hygiene)."""
     _, res = pipeline_out
-    routed = res["routed"]
+    golden = spark.read.parquet(f"{fixture_dir}/pages.parquet").select("url", "warc_ts", "text")
+    routed = res["routed"].select("url", "warc_ts", "text_out").join(golden, ["url", "warc_ts"])
+    assert "text" not in res["routed"].columns  # input column not re-persisted
     bad = routed.filter(
         ~(
             (F.col("text").isNull() & F.col("text_out").isNull())
