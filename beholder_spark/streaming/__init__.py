@@ -90,3 +90,96 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str], ts_col: str, wate
     to the watermark horizon (exact dedup over an unbounded stream would
     need unbounded state)."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_windows(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`beholder_spark.operators.aggregate.sessionize`:
+    gap-based sessions via the built-in ``session_window`` — state merges
+    adjacent events per key, watermark closes sessions and bounds state.
+    """
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def running_counts_stateful(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    timeout_after_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the escape
+    hatch for per-key logic the built-in streaming aggregates can't
+    express (Beholder's long-lived per-source counters, rate trackers).
+
+    Demonstrator semantics: per key, emit (key, total_events, batches_seen)
+    on every trigger, keeping a running total in state. Arrow-batched:
+    each key's micro-batch rows arrive as pandas DataFrames — no per-row
+    Python. ``timeout_after_ms`` arms a processing-time state expiry
+    (bounds memory under key churn in a long-running daemon); leave None
+    under ``trigger(availableNow)`` — pending timers keep that trigger
+    alive past the available data, so the run never terminates.
+    """
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("total_events", T.LongType()),
+            T.StructField("batches_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("total", T.LongType()),
+            T.StructField("batches", T.LongType()),
+        ]
+    )
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        if timeout_after_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        rows = sum(len(p) for p in pdfs)
+        total, batches = state.get if state.exists else (0, 0)
+        total, batches = total + rows, batches + 1
+        state.update((total, batches))
+        if timeout_after_ms is not None:
+            state.setTimeoutDuration(timeout_after_ms)
+        yield pd.DataFrame(
+            {"key": [str(key_tuple[0])], "total_events": [total], "batches_seen": [batches]}
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_after_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream.groupBy(F.col(key).cast("string").alias(key))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=timeout_conf,
+        )
+    )

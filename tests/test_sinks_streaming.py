@@ -64,6 +64,67 @@ def test_streaming_matches_batch(spark, fixture_dir, tmp_path):
     assert stream_counts == batch_counts
 
 
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """Streaming session_window must produce the same sessions as the
+    batch lag+cumsum sessionize when all data is on time (single batch)."""
+    import datetime as dt
+
+    from beholder_spark.operators.aggregate import sessionize
+    from beholder_spark.streaming import session_windows
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for uid in range(5):
+        t = base + dt.timedelta(minutes=uid)
+        for j in range(20):
+            gap = dt.timedelta(minutes=45 if j % 7 == 0 and j else j % 5)
+            t = t + gap
+            rows.append((uid, t))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+
+    batch = sessionize(spark.read.parquet(src), "user_id", "ts", gap_seconds=1800)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = session_windows(stream, "user_id", "ts", gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("select * from sessions").collect()
+    }
+    exp = {(r.user_id, r.session_start, r.n_events) for r in batch.collect()}
+    assert got == exp
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    from beholder_spark.streaming import running_counts_stateful
+
+    df = spark.createDataFrame(
+        [(f"u{i % 3}", i) for i in range(30)], ["user_id", "v"]
+    ).withColumn("ts", F.current_timestamp())
+    src = str(tmp_path / "state_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = running_counts_stateful(stream, "user_id", "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.key, r.total_events) for r in spark.sql("select * from state_counts").collect()}
+    assert got == {("u0", 10), ("u1", 10), ("u2", 10)}
+
+
 def test_streaming_windowed_counts(spark, fixture_dir, tmp_path):
     from beholder_spark.streaming import read_pages_stream, windowed_counts
 
