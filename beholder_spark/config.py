@@ -1,0 +1,424 @@
+"""Beholder config-language front end: config text → pipeline spec.
+
+The reference's user interface is a config file of commands
+(`beholder@public:README.md` — tokens are words, 'quoted strings' with
+``{$field}`` / ``$field`` interpolation, ``~regex~`` literals, ``{ } ;``
+block structure; SURVEY.md §3.1). This module gives reference users that
+same surface on the Spark engine: the text compiles to the SAME stage
+specs that :func:`beholder_spark.pipeline.compile_pipeline` executes, so
+one config drives a batch or streaming DataFrame DAG.
+
+Supported command subset (the router core — SURVEY.md §2):
+
+    from parquet '<path>' | from timer <n> | from infinity <n>
+    parse syslog [keep-unparsed]          # on $payload
+    parse json $field key:type ...        # declared schema
+    parse regexp ~pattern~ $name:idx ...  # named groups
+    set $f 'template with {$a} text'      # interpolation
+    set $f replace ~re~ 'tpl' [in $src]
+    set $f basename $src | severity-name $src | json $a $b ... | date $ts
+    set $f host $url                      # per-row host from url column
+    keep $a $b ...
+    drop if $col == 'value'               # simplified predicate form
+    switch $field { case ~re~ { ... } default { ... } }
+    to file '<path template with {$field}>'
+
+Semantics pinned by our SPEC where the reference is unverifiable:
+switch is first-match-wins in case order; messages matching no case take
+the ``default`` block if present, else route ``_unmatched`` (quarantined,
+never silently dropped — SURVEY.md §2.4 R3). ``to file`` templates whose
+placeholders are message fields become partition columns of ONE
+partitionBy fan-out write (field-templated paths ≡ dynamic partitioning,
+SURVEY.md §2.6 K2).
+
+Everything compiles to column expressions / existing operators — the
+config front end adds zero execution machinery.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beholder_spark.operators import fields as fo
+from beholder_spark.operators import parse as po
+
+# ---------------------------------------------------------------------------
+# Tokenizer: words, 'quoted', ~regex~, { } ;
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+        (?P<comment>\#[^\n]*)
+      | (?P<quoted>'(?:[^'\\]|\\.)*')
+      | (?P<regex>~(?:[^~\\]|\\.)*~)
+      | (?P<brace>[{};])
+      | (?P<word>[^\s{};]+)
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Token:
+    kind: str  # 'quoted' | 'regex' | 'brace' | 'word'
+    value: str
+
+
+def tokenize(text: str) -> list[Token]:
+    out: list[Token] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            if text[pos:].strip():
+                raise ConfigError(f"cannot tokenize at: {text[pos:pos + 40]!r}")
+            break
+        pos = m.end()
+        if m.lastgroup == "comment" or m.lastgroup is None:
+            continue
+        v = m.group(m.lastgroup)
+        if m.lastgroup == "quoted":
+            v = v[1:-1].replace("\\'", "'").replace("\\\\", "\\")
+        elif m.lastgroup == "regex":
+            v = v[1:-1].replace("\\~", "~")
+        out.append(Token(m.lastgroup, v))
+    return out
+
+
+class ConfigError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Parser: token stream → command tree
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Command:
+    name: str
+    args: list[Token] = field(default_factory=list)
+    block: list["Command"] | None = None
+
+
+class _Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    def _peek(self) -> Token | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def parse_block(self, top: bool = False) -> list[Command]:
+        cmds: list[Command] = []
+        while True:
+            t = self._peek()
+            if t is None:
+                if not top:
+                    raise ConfigError("unexpected end of config inside block")
+                return cmds
+            if t.kind == "brace" and t.value == "}":
+                if top:
+                    raise ConfigError("unmatched '}'")
+                self.i += 1
+                return cmds
+            cmds.append(self.parse_command())
+
+    def parse_command(self) -> Command:
+        t = self._peek()
+        if t is None or t.kind != "word":
+            raise ConfigError(f"expected command word, got {t}")
+        self.i += 1
+        cmd = Command(t.value)
+        while True:
+            t = self._peek()
+            if t is None:
+                return cmd
+            if t.kind == "brace":
+                self.i += 1
+                if t.value == ";":
+                    return cmd
+                if t.value == "{":
+                    cmd.block = self.parse_block()
+                    return cmd
+                raise ConfigError("unmatched '}'")
+            cmd.args.append(t)
+            self.i += 1
+
+
+def parse_config(text: str) -> list[Command]:
+    return _Parser(tokenize(text)).parse_block(top=True)
+
+
+# ---------------------------------------------------------------------------
+# Template interpolation: 'text {$a} more $b' → Column
+# ---------------------------------------------------------------------------
+
+_INTERP_RE = re.compile(r"\{\$(\w+)\}|\$(\w+)")
+
+
+def template_column(tpl: str) -> Column:
+    """Beholder string template → concat() of literals and columns."""
+    parts: list[Column] = []
+    last = 0
+    for m in _INTERP_RE.finditer(tpl):
+        if m.start() > last:
+            parts.append(F.lit(tpl[last:m.start()]))
+        parts.append(F.coalesce(F.col(m.group(1) or m.group(2)).cast("string"), F.lit("")))
+        last = m.end()
+    if last < len(tpl):
+        parts.append(F.lit(tpl[last:]))
+    if not parts:
+        return F.lit("")
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def template_fields(tpl: str) -> list[str]:
+    return [m.group(1) or m.group(2) for m in _INTERP_RE.finditer(tpl)]
+
+
+def _field(tok: Token) -> str:
+    if not tok.value.startswith("$"):
+        raise ConfigError(f"expected $field, got {tok.value!r}")
+    return tok.value[1:]
+
+
+# ---------------------------------------------------------------------------
+# Compiler: command tree → DataFrame transformations
+# ---------------------------------------------------------------------------
+
+_JSON_TYPES = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+@dataclass
+class CompiledPipeline:
+    """Result of compiling one config: a transformation over the source
+    DataFrame plus the fan-out sink templates collected from `to file`."""
+
+    transform: "callable"
+    sinks: list[dict]  # [{"path_template": str, "partition_fields": [...]}]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.transform(df)
+
+
+def _compile_set(df: DataFrame, cmd: Command) -> DataFrame:
+    fname = _field(cmd.args[0])
+    rest = cmd.args[1:]
+    if not rest:  # `set $f;` clears the field (F10)
+        return fo.unset(df, fname) if fname in df.columns else df
+    head = rest[0]
+    if head.kind == "quoted":
+        return df.withColumn(fname, template_column(head.value))
+    word = head.value
+    if word == "replace":
+        pat, tpl = rest[1].value, rest[2].value
+        src = fname
+        if len(rest) >= 5 and rest[3].value == "in":
+            src = _field(rest[4])
+        # Beholder templates use $0..$9 backrefs; Spark uses $1-style too
+        return fo.set_replace(df, fname, pat, tpl, src if src != fname else None)
+    if word == "basename":
+        return fo.set_basename(df, fname, _field(rest[1]))
+    if word == "severity-name":
+        return fo.set_severity_name(df, fname, _field(rest[1]))
+    if word == "json":
+        return fo.set_json(df, fname, *[_field(a) for a in rest[1:]])
+    if word == "date":
+        return fo.set_date(df, fname, _field(rest[1])) if len(rest) > 1 else df.withColumn(
+            fname, F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX")
+        )
+    if word == "host":
+        return fo.set_host_from_url(df, fname, _field(rest[1]))
+    raise ConfigError(f"unsupported set function: {word!r}")
+
+
+def _compile_parse(df: DataFrame, cmd: Command) -> DataFrame:
+    kind = cmd.args[0].value
+    if kind == "syslog":
+        keep = any(a.value == "keep-unparsed" for a in cmd.args[1:])
+        return po.parse_syslog(df, col="payload", keep_unparsed=keep)
+    if kind == "json":
+        src = _field(cmd.args[1])
+        fields_ = []
+        for a in cmd.args[2:]:
+            name, _, typ = a.value.partition(":")
+            fields_.append(T.StructField(name.lstrip("$"), _JSON_TYPES[typ or "string"], True))
+        return po.parse_json(df, src, T.StructType(fields_))
+    if kind == "regexp":
+        pat = cmd.args[1].value
+        groups = {}
+        for a in cmd.args[2:]:
+            name, _, idx = a.value.partition(":")
+            groups[name.lstrip("$")] = int(idx or len(groups) + 1)
+        src = "payload" if "payload" in df.columns else df.columns[0]
+        return po.parse_regexp(df, src, pat, groups)
+    raise ConfigError(f"unsupported parse format: {kind!r}")
+
+
+def _compile_drop(df: DataFrame, cmd: Command) -> DataFrame:
+    if not cmd.args:  # unconditional `drop;` inside a case block is handled there
+        raise ConfigError("bare `drop` outside a switch case is not supported; use `drop if`")
+    if cmd.args[0].value != "if":
+        raise ConfigError("expected `drop if $col == 'value'`")
+    col, op, val = _field(cmd.args[1]), cmd.args[2].value, cmd.args[3].value
+    cond = (F.col(col) == F.lit(val)) if op == "==" else (F.col(col) != F.lit(val))
+    return fo.drop_when(df, cond)
+
+
+def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame:
+    """switch '<tpl>' { case ~re~ {...} default {...} } — the route column
+    is a first-match-wins when() chain over the interpolated subject; each
+    case's sub-block then applies ONLY to rows of that route (branch
+    transformations are guarded per-route, sinks collect per-route
+    partitions)."""
+    subject = (
+        template_column(cmd.args[0].value)
+        if cmd.args and cmd.args[0].kind == "quoted"
+        else F.col(_field(cmd.args[0])).cast("string")
+    )
+    route_col: Column | None = None
+    route_names: list[str] = []
+    case_blocks: list[tuple[str, list[Command]]] = []
+    default_block: list[Command] | None = None
+    n = 0
+    for sub in cmd.block or []:
+        if sub.name == "case":
+            pat = sub.args[0].value
+            n += 1
+            name = f"case_{n}"
+            cond = subject.rlike(pat)
+            route_col = (
+                F.when(cond, name) if route_col is None else route_col.when(cond, name)
+            )
+            route_names.append(name)
+            case_blocks.append((name, sub.block or []))
+        elif sub.name == "default":
+            default_block = sub.block or []
+        else:
+            raise ConfigError(f"unexpected {sub.name!r} inside switch")
+    default_name = "default" if default_block is not None else "_unmatched"
+    if route_col is None:
+        route_col = F.when(F.lit(False), "x")
+    route_col = route_col.otherwise(default_name)
+    df = df.withColumn("route", route_col)
+    # apply each case's sub-pipeline to its slice only: `drop;` discards
+    # the route, `to file` registers a per-route sink, `set $f '<tpl>'`
+    # assigns guarded by route (other routes keep their value / NULL).
+    for name, block in [*case_blocks, (default_name, default_block or [])]:
+        for sub in block:
+            if sub.name == "drop" and not sub.args:
+                df = df.filter(F.col("route") != name)
+            elif sub.name == "to":
+                _collect_sink(sub, sinks, route=name)
+            elif sub.name == "set" and len(sub.args) == 2 and sub.args[1].kind == "quoted":
+                fname = _field(sub.args[0])
+                expr = template_column(sub.args[1].value)
+                existing = F.col(fname) if fname in df.columns else F.lit(None).cast("string")
+                df = df.withColumn(
+                    fname, F.when(F.col("route") == name, expr).otherwise(existing)
+                )
+            else:
+                raise ConfigError(f"unsupported command {sub.name!r} inside case block")
+    return df
+
+
+def _collect_sink(cmd: Command, sinks: list[dict], route: str | None = None) -> None:
+    if cmd.args[0].value != "file":
+        raise ConfigError("only `to file '<tpl>'` sinks are supported")
+    tpl = cmd.args[1].value
+    sinks.append(
+        {
+            "path_template": tpl,
+            "partition_fields": template_fields(tpl),
+            "route": route,
+        }
+    )
+
+
+def compile_config(text: str) -> CompiledPipeline:
+    """Compile config text into a DataFrame transformation + sink specs.
+
+    The transformation is pure (no actions); run the sinks with
+    :func:`run_config_pipeline`.
+    """
+    cmds = parse_config(text)
+    sinks: list[dict] = []
+
+    def transform(df: DataFrame) -> DataFrame:
+        out = df
+        for cmd in cmds:
+            out = _apply(out, cmd, sinks)
+        return out
+
+    return CompiledPipeline(transform=transform, sinks=sinks)
+
+
+def _apply(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame:
+    if cmd.name == "flow":
+        for sub in cmd.block or []:
+            df = _apply(df, sub, sinks)
+        return df
+    if cmd.name == "from":
+        return df  # source selection is the caller's scan (S1/S2 ≡ input table)
+    if cmd.name == "parse":
+        return _compile_parse(df, cmd)
+    if cmd.name == "set":
+        return _compile_set(df, cmd)
+    if cmd.name == "keep":
+        return fo.keep(df, *[_field(a) for a in cmd.args])
+    if cmd.name == "drop":
+        return _compile_drop(df, cmd)
+    if cmd.name == "switch":
+        return _compile_switch(df, cmd, sinks)
+    if cmd.name == "to":
+        _collect_sink(cmd, sinks)
+        return df
+    if cmd.name == "tee":
+        # side block shares the parent DAG; its sinks are collected, its
+        # transformations do NOT affect the main flow (C2)
+        side = df
+        for sub in cmd.block or []:
+            side = _apply(side, sub, sinks)
+        return df
+    raise ConfigError(f"unsupported command: {cmd.name!r}")
+
+
+def run_config_pipeline(
+    spark: SparkSession, df: DataFrame, config_text: str, out_root: str
+) -> dict[str, DataFrame]:
+    """Execute a config over an input DataFrame: apply the compiled
+    transformation once, then ONE partitionBy fan-out write per distinct
+    sink template (field-templated paths ≡ partition columns; single pass
+    over the data — SURVEY.md §2.6 K2 / §4.2)."""
+    import os
+
+    compiled = compile_config(config_text)
+    routed = compiled(df)
+    results: dict[str, DataFrame] = {}
+    for i, sink in enumerate(compiled.sinks):
+        part_cols = [f for f in sink["partition_fields"] if f in routed.columns]
+        slice_df = routed
+        if sink.get("route") and "route" in routed.columns:
+            slice_df = routed.filter(F.col("route") == sink["route"])
+        path = os.path.join(out_root, f"sink_{i}")
+        w = slice_df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(path)
+        results[f"sink_{i}"] = spark.read.parquet(path)
+    return results

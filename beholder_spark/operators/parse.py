@@ -86,8 +86,13 @@ def parse_syslog(df: DataFrame, col: str = "raw", keep_unparsed: bool = False) -
     One pandas-UDF stage → one struct column → ``select(struct.*)``; Arrow
     moves the bytes in columnar batches, regexes are compiled once per
     Python worker (module import), never per row.
+
+    SPEC (Beholder field semantics): parsed fields OVERWRITE same-named
+    existing message fields — ``parse syslog`` replaces ``$payload`` with
+    the message body, ``$host`` with the header host, etc.
     """
-    out = df.withColumn("_sys", _syslog_udf(F.col(col))).select("*", "_sys.*").drop("_sys")
+    keep_cols = [c for c in df.columns if c not in {*SYSLOG_FIELDS, "parse_ok"}]
+    out = df.withColumn("_sys", _syslog_udf(F.col(col))).select(*keep_cols, "_sys.*")
     if not keep_unparsed:
         out = out.filter(F.col("parse_ok"))
     return out

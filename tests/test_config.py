@@ -1,0 +1,166 @@
+"""Beholder config-language front end: tokenize → parse → compile → run.
+
+Mirrors the reference's config-parser test style (SURVEY.md §5.1): feed a
+config snippet plus synthetic messages, assert the resulting field map /
+routing / sink contents.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beholder_spark import config as C
+
+
+# ---------------------------------------------------------------------------
+# tokenizer / parser
+# ---------------------------------------------------------------------------
+
+
+def test_tokenize_kinds():
+    toks = C.tokenize("set $f 'a {$b} c' ~re~ { } ; # comment\nword")
+    kinds = [(t.kind, t.value) for t in toks]
+    assert kinds == [
+        ("word", "set"),
+        ("word", "$f"),
+        ("quoted", "a {$b} c"),
+        ("regex", "re"),
+        ("brace", "{"),
+        ("brace", "}"),
+        ("brace", ";"),
+        ("word", "word"),
+    ]
+
+
+def test_tokenize_escapes():
+    toks = C.tokenize(r"set $f 'it\'s' ~a\~b~;")
+    assert toks[2].value == "it's"
+    assert toks[3].value == "a~b"
+
+
+def test_parse_nested_blocks():
+    cmds = C.parse_config("flow { switch $x { case ~a~ { drop; } default { } } to file 'p'; }")
+    assert cmds[0].name == "flow"
+    sw = cmds[0].block[0]
+    assert sw.name == "switch" and sw.block[0].name == "case"
+    assert sw.block[0].block[0].name == "drop"
+    assert cmds[0].block[1].name == "to"
+
+
+def test_parse_unbalanced_raises():
+    with pytest.raises(C.ConfigError):
+        C.parse_config("flow {")
+    with pytest.raises(C.ConfigError):
+        C.parse_config("}")
+
+
+# ---------------------------------------------------------------------------
+# compile + run
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def messages(spark):
+    rows = [
+        ("<13>Oct 11 22:14:15 host1 app[42]: hello world", "en"),
+        ("<13>Oct 11 22:14:16 host2 db: query ran", "de"),
+        ("not syslog at all", "en"),
+        ("<99999>bad pri", "fr"),
+    ]
+    return spark.createDataFrame(rows, ["payload", "lang"])
+
+
+def test_config_parse_set_keep(spark, messages):
+    cfg = """
+    parse syslog keep-unparsed;
+    set $tag '{$host}/{$program}';
+    keep $tag $severity $parse_ok $lang;
+    """
+    out = C.compile_config(cfg)(messages)
+    assert set(out.columns) == {"tag", "severity", "parse_ok", "lang"}
+    rows = {r.tag: r for r in out.collect()}
+    assert rows["host1/app"].severity == "5"
+    assert rows["host2/db"].parse_ok is True
+    # unparseable rows kept with NULL fields (keep-unparsed SPEC)
+    assert None not in rows and len(rows) == 3  # two parsed + joint "/" for unparsed
+    assert rows["/"].parse_ok is False
+
+
+def test_config_switch_first_match_and_quarantine(spark, messages):
+    cfg = """
+    switch '{$lang}' {
+      case ~en~ { set $sink 'english'; }
+      case ~en|de~ { set $sink 'germanic'; }
+    }
+    """
+    out = C.compile_config(cfg)(messages)
+    got = {r.lang: (r.route, r.sink) for r in out.select("lang", "route", "sink").distinct().collect()}
+    assert got["en"] == ("case_1", "english")  # first match wins
+    assert got["de"] == ("case_2", "germanic")
+    assert got["fr"] == ("_unmatched", None)  # no default → quarantined, not dropped
+
+
+def test_config_case_drop(spark, messages):
+    cfg = """
+    switch '{$lang}' {
+      case ~fr~ { drop; }
+      default { }
+    }
+    """
+    out = C.compile_config(cfg)(messages)
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en", "de"}
+
+
+def test_config_sink_fanout(spark, messages, tmp_path):
+    cfg = """
+    parse syslog keep-unparsed;
+    switch '{$lang}' {
+      case ~en~ { to file '/logs/en/{$host}.log'; }
+      default { to file '/logs/rest.log'; }
+    }
+    """
+    res = C.run_config_pipeline(spark, messages, cfg, str(tmp_path / "out"))
+    assert len(res) == 2
+    en = res["sink_0"]
+    assert {r.route for r in en.select("route").distinct().collect()} == {"case_1"}
+    # field-templated path became a partition column
+    assert "host" in en.columns
+    rest = res["sink_1"]
+    assert {r.route for r in rest.select("route").distinct().collect()} == {"default"}
+
+
+def test_config_parse_regexp_and_json(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}', "k=v1"), ('{"a": 2, "b": "y"}', "k=v2")],
+        ["payload", "kv"],
+    )
+    out = C.compile_config("parse json $payload a:long b:string;")(df)
+    assert {r.a for r in out.collect()} == {1, 2}
+
+    # parse regexp operates on $payload (Beholder semantics)
+    out2 = C.compile_config('parse regexp ~"b": "(\\w)"~ $val:1;')(df)
+    assert {r.val for r in out2.collect()} == {"x", "y"}
+
+
+def test_config_set_replace_and_drop_if(spark):
+    df = spark.createDataFrame([("a-b", "x"), ("c-d", "drop me")], ["s", "flag"])
+    cfg = """
+    set $s2 replace ~-~ '_' in $s;
+    drop if $flag == 'drop me';
+    """
+    out = C.compile_config(cfg)(df)
+    assert [r.s2 for r in out.collect()] == ["a_b"]
+
+
+def test_config_tee_collects_sink_without_affecting_flow(spark, messages, tmp_path):
+    cfg = """
+    tee { keep $lang; to file '/copy.log'; }
+    set $seen 'yes';
+    """
+    compiled = C.compile_config(cfg)
+    out = compiled(messages)
+    # tee's keep did not project the main flow
+    assert "payload" in out.columns and out.select("seen").first().seen == "yes"
+    assert len(compiled.sinks) == 1
