@@ -212,6 +212,57 @@ def route_case_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "route", "second_word")
 
 
+@_register(
+    "config_switch_routed_counts",
+    """
+    SELECT CASE WHEN regexp_matches(lang, '^en$') THEN 'case_1'
+                WHEN regexp_matches(lang, '^(de|fr|es)$') THEN 'case_2'
+                ELSE 'default' END AS route,
+           CASE WHEN regexp_matches(lang, '^en$') THEN 'major/' || lang
+                WHEN regexp_matches(lang, '^(de|fr|es)$') THEN 'major/' || lang
+                ELSE 'minor/' || lang END AS sink,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def config_switch_routed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 config front end, oracle-checked end-to-end: Beholder config
+    TEXT → tokenizer → parser → compiled switch/set stages → per-route
+    counts. First-match-wins case order and per-case guarded set."""
+    from beholder_spark.config import compile_config
+
+    cfg = """
+    switch '{$lang}' {
+      case ~^en$~ { set $sink 'major/{$lang}'; }
+      case ~^(de|fr|es)$~ { set $sink 'major/{$lang}'; }
+      default { set $sink 'minor/{$lang}'; }
+    }
+    """
+    out = compile_config(cfg)(_t(spark, sf_dir, "documents"))
+    return out.groupBy("route", "sink").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "grouping_sets_lang_source",
+    """
+    SELECT lang, source, count(*) AS n
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+    """,
+)
+def grouping_sets_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 GROUPING SETS (rollup/cube's general form) via Spark SQL — one
+    pass, expand + hash aggregate."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        """
+        SELECT lang, source, count(*) AS n
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # F1/F2/F8/F11/F12: set-family + keep/drop
 # ---------------------------------------------------------------------------
