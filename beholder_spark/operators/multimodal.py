@@ -64,6 +64,59 @@ def decode_binary(df: DataFrame, bin_col: str, out_prefix: str = "img_") -> Data
     return df.mapInPandas(batches, out_schema)
 
 
+def resize_stub(
+    df: DataFrame,
+    width_col: str,
+    height_col: str,
+    max_dim: int = 224,
+    out_prefix: str = "rs_",
+) -> DataFrame:
+    """Resize planning (stubbed codec): compute the aspect-preserving
+    target dims for a max_dim bounding box — integer arithmetic on the
+    decoded metadata, entirely JVM-side (no pixels exist in the sandbox;
+    a real resize plugs into :func:`decode_binary`'s mapInPandas with the
+    same column contract).
+
+    floor-scaling SPEC: scale = max_dim / max(w, h) applied as
+    ``dim * max_dim / max(w, h)`` in integer division; images already
+    inside the box pass through unchanged.
+    """
+    w, h = F.col(width_col), F.col(height_col)
+    big = F.greatest(w, h)
+    needs = big > max_dim
+    new_w = F.when(needs, (w * max_dim / big).cast("long")).otherwise(w)
+    new_h = F.when(needs, (h * max_dim / big).cast("long")).otherwise(h)
+    return df.withColumn(out_prefix + "width", new_w).withColumn(out_prefix + "height", new_h)
+
+
+EMBED_STUB_DIM = 8
+
+
+def feature_stub(df: DataFrame, bin_col: str, out_col: str = "features") -> DataFrame:
+    """Feature-extraction plumbing (stubbed model): deterministic
+    pseudo-embedding array<long> derived from payload length — the real
+    version swaps the arithmetic for a model forward pass inside the same
+    mapInPandas batch loop (shared model context per batch, Arrow-bounded
+    memory). feature[i] = (n_bytes * (i + 3)) % 17 - 8.
+    """
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields) + [T.StructField(out_col, T.ArrayType(T.LongType()), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns = pdf[bin_col].map(lambda b: len(b) if b is not None else None)
+            pdf[out_col] = ns.map(
+                lambda n: None
+                if n is None
+                else [(n * (i + 3)) % 17 - 8 for i in range(EMBED_STUB_DIM)]
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def sample_frames(df: DataFrame, bin_col: str, id_col: str, every_n_bytes: int = 1000) -> DataFrame:
     """Frame-sampling shape: one input row → N output rows (one per fake
     'frame' = every_n_bytes chunk). Demonstrates multiplicity-changing

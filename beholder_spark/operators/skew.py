@@ -47,3 +47,30 @@ def repartition_salted(df: DataFrame, key: str, salt_from: str, partitions: int,
     hot key spreads over `buckets` tasks instead of one."""
     salted = add_salt(df, salt_from, buckets)
     return salted.repartition(partitions, F.col(key), F.col("_salt"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    salt_from: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof shuffle join, result identical to ``big.join(small, on)``.
+
+    The big side salts deterministically from a fine-grained column; the
+    small side replicates ×`buckets` (explode of a literal range — no
+    shuffle, just fan-out). Joining on (keys, salt) spreads each hot key
+    over `buckets` reducers instead of one. Use when the small side is too
+    big to broadcast but the big side's keys are Zipf-hot; cost = small
+    side shuffled ×buckets — bounded and chosen, unlike the unbounded
+    single-reducer stall it replaces. (AQE's skew-join split is the
+    automatic variant; this is the explicit, plan-stable one.)
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    big_s = add_salt(big, salt_from, buckets)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(buckets)]))
+    )
+    return big_s.join(small_s, [*keys, "_salt"], how).drop("_salt")

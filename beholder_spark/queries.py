@@ -624,6 +624,27 @@ def salted_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.salted_count(_t(spark, sf_dir, "events"), ["event_type"], salt_from="event_id")
 
 
+@_register(
+    "salted_join_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 join side: explicit salted shuffle join (big side salted from
+    l_linenumber, small side replicated ×8) — the oracle's PLAIN join
+    proves result equality; the salt bounds any hot orderkey's reducer."""
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "okey")
+    joined = skew.salted_join(li, orders, on="okey", salt_from="l_linenumber", buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P5: each-field-as-message
 # ---------------------------------------------------------------------------
@@ -1140,3 +1161,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return multimodal.sample_frames(d, "payload", "doc_id", every_n_bytes=1000)
+
+
+@_register(
+    "multimodal_resize_plan",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             (octet_length(encode(text)) * 7) % 480 + 1 AS h
+      FROM documents WHERE octet_length(encode(text)) > 0
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(w, h) > 224
+                THEN w * 224 // greatest(w, h) ELSE w END AS rs_width,
+           CASE WHEN greatest(w, h) > 224
+                THEN h * 224 // greatest(w, h) ELSE h END AS rs_height
+    FROM meta
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over decoded metadata: aspect-preserving bounding
+    box, integer floor-scaling SPEC — oracle repeats the arithmetic."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    meta = multimodal.decode_binary(d, "payload").filter(F.col("img_n_bytes") > 0)
+    out = multimodal.resize_stub(meta, "img_width", "img_height", max_dim=224)
+    return out.select(
+        "doc_id",
+        F.col("rs_width").cast("long").alias("rs_width"),
+        F.col("rs_height").cast("long").alias("rs_height"),
+    )
+
+
+@_register(
+    "multimodal_feature_stub",
+    """
+    SELECT doc_id,
+           CAST(i AS INT) AS i,
+           (octet_length(encode(text)) * (i + 3)) % 17 - 8 AS f
+    FROM documents, LATERAL (SELECT unnest(range(8)) AS i)
+    WHERE text IS NOT NULL
+    """,
+)
+def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: deterministic pseudo-embedding via
+    mapInPandas (model forward pass slot); compared element-wise (the
+    oracle repeats the arithmetic with unnest)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = multimodal.feature_stub(d, "payload").filter(F.col("features").isNotNull())
+    return feats.select("doc_id", F.posexplode("features").alias("i", "f"))
