@@ -247,6 +247,20 @@ def _compile_set(df: DataFrame, cmd: Command) -> DataFrame:
     raise ConfigError(f"unsupported set function: {word!r}")
 
 
+def _compile_from(spark: SparkSession, cmd: Command) -> DataFrame:
+    """S1-S5 sources for subflows: parquet scan / timer / infinity."""
+    from beholder_spark import sources
+
+    kind = cmd.args[0].value
+    if kind == "parquet":
+        return sources.from_parquet(spark, cmd.args[1].value)
+    if kind == "timer":
+        return sources.from_timer(spark, int(cmd.args[1].value))
+    if kind == "infinity":
+        return sources.from_infinity(spark, int(cmd.args[1].value))
+    raise ConfigError(f"unsupported source in join block: {kind!r}")
+
+
 def _compile_parse(df: DataFrame, cmd: Command) -> DataFrame:
     kind = cmd.args[0].value
     if kind == "syslog":
@@ -375,6 +389,21 @@ def _apply(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame:
         return df
     if cmd.name == "from":
         return df  # source selection is the caller's scan (S1/S2 ≡ input table)
+    if cmd.name == "join":
+        # C3 `join { from … ; … }`: a subflow's output merges into this
+        # flow — a stream UNION in Beholder, unionByName here. The
+        # subflow's `from` names its own source scan.
+        sub_df = None
+        for sub in cmd.block or []:
+            if sub.name == "from":
+                sub_df = _compile_from(df.sparkSession, sub)
+            else:
+                if sub_df is None:
+                    raise ConfigError("join block must start with `from …`")
+                sub_df = _apply(sub_df, sub, sinks)
+        if sub_df is None:
+            raise ConfigError("join block must contain `from …`")
+        return df.unionByName(sub_df, allowMissingColumns=True)
     if cmd.name == "parse":
         return _compile_parse(df, cmd)
     if cmd.name == "set":

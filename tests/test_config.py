@@ -154,6 +154,19 @@ def test_config_set_replace_and_drop_if(spark):
     assert [r.s2 for r in out.collect()] == ["a_b"]
 
 
+def test_config_join_subflow_union(spark, messages, tmp_path):
+    side_path = str(tmp_path / "side")
+    spark.createDataFrame([("extra line", "sv")], ["payload", "lang"]).write.parquet(side_path)
+    cfg = f"""
+    join {{ from parquet '{side_path}'; set $joined 'yes'; }}
+    """
+    out = C.compile_config(cfg)(messages)
+    assert out.count() == messages.count() + 1
+    assert out.filter(F.col("joined") == "yes").count() == 1
+    # main-flow rows carry NULL for the subflow-only field
+    assert out.filter(F.col("joined").isNull()).count() == messages.count()
+
+
 def test_config_tee_collects_sink_without_affecting_flow(spark, messages, tmp_path):
     cfg = """
     tee { keep $lang; to file '/copy.log'; }
