@@ -102,3 +102,34 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.md5(norm))
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    out_col: str = "winnow",
+) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS winnowing): hash every
+    k-word gram, slide a window of `window` consecutive gram hashes, keep
+    each window's minimum, dedupe — the classic partial-overlap detector
+    (robust to insertions, unlike the whole-document fingerprint).
+
+    Pure column expressions: `transform(sequence(...))` builds gram hashes
+    and window minima JVM-side — no shuffle, no Python, array memory
+    bounded by doc length. Hashes are md5 (lexicographic min over hex
+    strings) so the DuckDB oracle reproduces every selected fingerprint.
+    """
+    toks = _tokens(text_col)
+    n_grams = F.size(toks) - (k - 1)
+    gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(gram_idx, lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")))
+    n_wins = F.size(grams) - (window - 1)
+    win_idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(grams, i, window)))
+    return df.withColumn(out_col, F.array_distinct(mins))

@@ -836,6 +836,42 @@ _CORPUS_SQL = """
 """
 
 
+@_register(
+    "winnow_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                            i -> md5(array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(grams) - 3, 0) + 1),
+                                          j -> list_min(list_slice(grams, j, j + 3)))) AS fps
+      FROM g
+    )
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fp, list_min(fps) AS min_fp
+    FROM m WHERE len(fps) > 0
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=3 grams, window=4): the
+    oracle recomputes every window minimum — bit-exact evidence for the
+    whole gram→window→min chain."""
+    d = textstats.with_winnow_fingerprints(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "text", k=3, window=4
+    )
+    return d.filter(F.size("winnow") > 0).select(
+        "doc_id",
+        F.size("winnow").alias("n_fp"),
+        F.array_min("winnow").alias("min_fp"),
+    )
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = (
