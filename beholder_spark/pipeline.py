@@ -118,6 +118,19 @@ def run_pages_pipeline(
     pages = spark.read.parquet(pages_path)
     lookup = spark.read.parquet(lookup_path)
 
+    if checkpoint:
+        # Resume scan-pruning: drop already-done days BEFORE the parse
+        # chain. The predicate depends only on warc_ts, so Catalyst pushes
+        # it below the pandas-UDF stage — a resumed run never pays text
+        # extraction for completed partitions (on a day-partitioned input
+        # table this is partition pruning; run_stage's manifest anti-join
+        # stays as the correctness backstop).
+        done = ln.done_partitions(spark, out_root, "routed")
+        if done:
+            pages = pages.filter(
+                ~F.to_date(F.col("warc_ts")).cast("string").isin(*done)
+            )
+
     routed = compile_pipeline(pages, pages_spec(lookup))
     routed = routed.withColumn("day", F.to_date(F.col("warc_ts")))
 

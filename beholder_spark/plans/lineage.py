@@ -51,6 +51,17 @@ def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
         return None
 
 
+def done_partitions(spark: SparkSession, root: str, stage: str) -> set[str] | None:
+    """Partition values already durably written for `stage`, as strings —
+    None on a fresh run. Driver-side and tiny (the manifest is rows of
+    (stage, partition), not data)."""
+    manifest = read_manifest(spark, root)
+    if manifest is None:
+        return None
+    rows = manifest.filter(F.col("stage") == stage).select("partition").distinct().collect()
+    return {r.partition for r in rows}
+
+
 def pending_partitions(spark: SparkSession, root: str, stage: str, df: DataFrame, partition_col: str) -> DataFrame:
     """Resume filter: drop rows whose (stage, partition) is already in the
     manifest. Broadcast anti-join — the manifest is tiny by construction.
