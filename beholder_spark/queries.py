@@ -625,6 +625,56 @@ def salted_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "percentiles_value_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per key (ops-view latency/value distributions):
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition, so results match to 4 dp. At 100 TB swap
+    for `approx_percentile` (t-digest, one pass, fixed memory)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        )
+    )
+
+
+@_register(
+    "argmax_value_by_user",
+    """
+    SELECT user_id,
+           arg_max(value, event_id) AS last_value,
+           round(stddev_samp(value), 4) AS sd
+    FROM events GROUP BY user_id HAVING count(*) > 1
+    """,
+)
+def argmax_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max (value at the max of a unique ordering key — the
+    one-pass alternative to dedup_latest when only one column is needed)
+    plus sample stddev; deterministic because event_id is unique."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "event_id").alias("last_value"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
+
+
+@_register(
     "salted_join_order_priority",
     """
     SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
