@@ -922,6 +922,87 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stream_windowed_counts_events",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming with an EXACT oracle: availableNow over the
+    events table → watermarked tumbling-window counts → memory sink; with
+    all data on time in one batch, complete-mode output equals the batch
+    GROUP BY — the streaming/batch equivalence contract, oracle-checked.
+    """
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from beholder_spark.streaming import windowed_counts
+
+    # streaming file sources need a DIRECTORY; stage the single-file
+    # table into a cached per-sf dir
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src_dir = f"/tmp/beholder_stream_src_{tag}"
+    if not os.path.exists(os.path.join(src_dir, "events.parquet")):
+        os.makedirs(src_dir, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    agg_df = windowed_counts(stream, ["event_type"], ts_col="ts", window="1 hour", watermark="2 hours")
+    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_type", F.col("bucket").cast("timestamp_ntz").alias("bucket"), "n"
+    )
+
+
+@_register(
+    "sort_merge_join_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sort_merge_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q5-shaped multi-join with the fact-fact join FORCED to
+    sort-merge (MERGE hint): at 100 TB orders⋈lineitem exceeds any
+    broadcast threshold, so this pins and tests the shuffle-join path
+    explicitly; the dimension joins stay broadcast."""
+    li = _t(spark, sf_dir, "lineitem").hint("merge")
+    orders = _t(spark, sf_dir, "orders").hint("merge")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = (
