@@ -26,7 +26,7 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="beholder_spark")
     p.add_argument("--pages", required=True, help="input pages table path")
-    p.add_argument("--lookup", required=True, help="host lookup table path")
+    p.add_argument("--lookup", help="host lookup table path (required without --config)")
     p.add_argument("--out", required=True, help="output root (sinks + _manifest/_lineage)")
     p.add_argument("--config", help="Beholder config text file (optional)")
     p.add_argument("--no-checkpoint", action="store_true", help="disable lineage/resume")
@@ -48,6 +48,8 @@ def main(argv: list[str] | None = None) -> int:
         for name, df in results.items():
             print(f"{name}: {df.count()} rows")
     else:
+        if not args.lookup:
+            p.error("--lookup is required without --config")
         from beholder_spark.pipeline import run_pages_pipeline
 
         results = run_pages_pipeline(

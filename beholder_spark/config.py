@@ -239,9 +239,15 @@ def _compile_set(df: DataFrame, cmd: Command) -> DataFrame:
     if word == "json":
         return fo.set_json(df, fname, *[_field(a) for a in rest[1:]])
     if word == "date":
-        return fo.set_date(df, fname, _field(rest[1])) if len(rest) > 1 else df.withColumn(
-            fname, F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX")
-        )
+        # SPEC deviation from Beholder (documented): wall-clock `set $f
+        # date` is nondeterministic — reruns/resume/oracles would diverge
+        # — so a source timestamp column is REQUIRED here.
+        if len(rest) < 2:
+            raise ConfigError(
+                "set $f date requires a source column (`set $f date $ts`): "
+                "wall-clock time is banned in deterministic pipelines"
+            )
+        return fo.set_date(df, fname, _field(rest[1]))
     if word == "host":
         return fo.set_host_from_url(df, fname, _field(rest[1]))
     raise ConfigError(f"unsupported set function: {word!r}")
@@ -291,7 +297,9 @@ def _compile_drop(df: DataFrame, cmd: Command) -> DataFrame:
         raise ConfigError("expected `drop if $col == 'value'`")
     col, op, val = _field(cmd.args[1]), cmd.args[2].value, cmd.args[3].value
     cond = (F.col(col) == F.lit(val)) if op == "==" else (F.col(col) != F.lit(val))
-    return fo.drop_when(df, cond)
+    # SPEC: a NULL field compares unknown → the row is KEPT (quarantine
+    # philosophy: never silently drop on missing data; SURVEY.md §2.4 R3)
+    return fo.drop_when(df, F.coalesce(cond, F.lit(False)))
 
 
 def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame:
@@ -338,7 +346,9 @@ def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame
             if sub.name == "drop" and not sub.args:
                 df = df.filter(F.col("route") != name)
             elif sub.name == "to":
-                _collect_sink(sub, sinks, route=name)
+                # capture this route's slice at the current point — a
+                # later `drop;` in the same case block does not unwrite it
+                _collect_sink(sub, sinks, df.filter(F.col("route") == name), route=name)
             elif sub.name == "set" and len(sub.args) == 2 and sub.args[1].kind == "quoted":
                 fname = _field(sub.args[0])
                 expr = template_column(sub.args[1].value)
@@ -351,7 +361,12 @@ def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame
     return df
 
 
-def _collect_sink(cmd: Command, sinks: list[dict], route: str | None = None) -> None:
+def _collect_sink(
+    cmd: Command, sinks: list[dict], df: DataFrame, route: str | None = None
+) -> None:
+    """Register a `to file` sink, CAPTURING the lazy DataFrame as it is at
+    this point in the flow (for a case-block sink: already sliced to the
+    route) — later commands cannot retroactively change the sink."""
     if cmd.args[0].value != "file":
         raise ConfigError("only `to file '<tpl>'` sinks are supported")
     tpl = cmd.args[1].value
@@ -360,6 +375,7 @@ def _collect_sink(cmd: Command, sinks: list[dict], route: str | None = None) -> 
             "path_template": tpl,
             "partition_fields": template_fields(tpl),
             "route": route,
+            "df": df,
         }
     )
 
@@ -368,12 +384,17 @@ def compile_config(text: str) -> CompiledPipeline:
     """Compile config text into a DataFrame transformation + sink specs.
 
     The transformation is pure (no actions); run the sinks with
-    :func:`run_config_pipeline`.
+    :func:`run_config_pipeline`. Each sink spec captures the (lazy)
+    DataFrame at the point its ``to file`` appeared — Beholder order
+    semantics: commands after a ``to`` do not retroactively change what
+    that sink writes. ``sinks`` is rebuilt on every invocation, so one
+    compiled config can drive any number of inputs.
     """
     cmds = parse_config(text)
     sinks: list[dict] = []
 
     def transform(df: DataFrame) -> DataFrame:
+        sinks.clear()  # fresh capture per invocation (reusable compile)
         out = df
         for cmd in cmds:
             out = _apply(out, cmd, sinks)
@@ -415,7 +436,7 @@ def _apply(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame:
     if cmd.name == "switch":
         return _compile_switch(df, cmd, sinks)
     if cmd.name == "to":
-        _collect_sink(cmd, sinks)
+        _collect_sink(cmd, sinks, df)
         return df
     if cmd.name == "tee":
         # side block shares the parent DAG; its sinks are collected, its
@@ -430,24 +451,32 @@ def _apply(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame:
 def run_config_pipeline(
     spark: SparkSession, df: DataFrame, config_text: str, out_root: str
 ) -> dict[str, DataFrame]:
-    """Execute a config over an input DataFrame: apply the compiled
-    transformation once, then ONE partitionBy fan-out write per distinct
-    sink template (field-templated paths ≡ partition columns; single pass
-    over the data — SURVEY.md §2.6 K2 / §4.2)."""
+    """Execute a config over an input DataFrame: one write per sink, each
+    from the DataFrame captured at its `to file` command; field-templated
+    paths ≡ partition columns of that write (SURVEY.md §2.6 K2).
+
+    Multi-sink economics: the input is persisted once so the K sink
+    writes recompute only their (cheap, column-level) transform suffixes
+    from cached rows, not K scans of the source — the filtered-branch
+    strategy of SURVEY.md §4.2. When all sinks share one schema, prefer
+    a single `partitionBy(route)` write (sinks.write_fanout_single_pass).
+    """
     import os
 
-    compiled = compile_config(config_text)
-    routed = compiled(df)
-    results: dict[str, DataFrame] = {}
-    for i, sink in enumerate(compiled.sinks):
-        part_cols = [f for f in sink["partition_fields"] if f in routed.columns]
-        slice_df = routed
-        if sink.get("route") and "route" in routed.columns:
-            slice_df = routed.filter(F.col("route") == sink["route"])
-        path = os.path.join(out_root, f"sink_{i}")
-        w = slice_df.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(path)
-        results[f"sink_{i}"] = spark.read.parquet(path)
-    return results
+    df = df.persist()
+    try:
+        compiled = compile_config(config_text)
+        compiled(df)  # populates compiled.sinks with captured frames
+        results: dict[str, DataFrame] = {}
+        for i, sink in enumerate(compiled.sinks):
+            slice_df = sink["df"]
+            part_cols = [f for f in sink["partition_fields"] if f in slice_df.columns]
+            path = os.path.join(out_root, f"sink_{i}")
+            w = slice_df.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(path)
+            results[f"sink_{i}"] = spark.read.parquet(path)
+        return results
+    finally:
+        df.unpersist()

@@ -100,6 +100,13 @@ def sessionize(
     streaming twin is ``session_window``). Returns one row per session:
     (key, session_start, session_end, n_events). Deterministic total
     order via the tiebreak column for equal timestamps.
+
+    SPEC (boundary-inclusive, matching Spark's ``session_window`` which
+    merges touching [t, t+gap) windows — verified by the streaming-twin
+    test at the exact-gap boundary): two events exactly ``gap_seconds``
+    apart belong to the SAME session; a new session starts only when the
+    gap is STRICTLY greater. ``session_end`` here is max(ts); the
+    streaming twin's window end is last_ts + gap.
     """
     order = [F.asc(ts_col)] + ([F.asc(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)

@@ -68,6 +68,11 @@ def salted_join(
     single-reducer stall it replaces. (AQE's skew-join split is the
     automatic variant; this is the explicit, plan-stable one.)
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full outer would emit each unmatched small-side row once
+        # PER SALT (it was replicated ×buckets) — not equal to the plain
+        # join. Those shapes need the plain join (+ AQE skew split).
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     big_s = add_salt(big, salt_from, buckets)
     small_s = small.withColumn(

@@ -127,9 +127,13 @@ def run_pages_pipeline(
         # stays as the correctness backstop).
         done = ln.done_partitions(spark, out_root, "routed")
         if done:
-            pages = pages.filter(
-                ~F.to_date(F.col("warc_ts")).cast("string").isin(*done)
+            # NULL-safe via the manifest's sentinel key: NULL-day rows are
+            # tracked as __NULL__, so they are pruned once written and
+            # never silently dropped nor re-appended on resume.
+            day_key = F.coalesce(
+                F.to_date(F.col("warc_ts")).cast("string"), F.lit(ln.NULL_PARTITION)
             )
+            pages = pages.filter(~day_key.isin(*done))
 
     routed = compile_pipeline(pages, pages_spec(lookup))
     routed = routed.withColumn("day", F.to_date(F.col("warc_ts")))

@@ -28,6 +28,14 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_manifest"
 LINEAGE = "_lineage"
+# manifest key for rows whose partition column is NULL (they land in the
+# writer's default partition); without this, collect_set drops NULLs and
+# NULL-partition rows would be re-appended on EVERY resume
+NULL_PARTITION = "__NULL__"
+
+
+def _partition_key(partition_col: str) -> F.Column:
+    return F.coalesce(F.col(partition_col).cast("string"), F.lit(NULL_PARTITION))
 
 
 def _append(spark: SparkSession, root: str, table: str, rows: list[dict]) -> None:
@@ -70,9 +78,15 @@ def pending_partitions(spark: SparkSession, root: str, stage: str, df: DataFrame
     if manifest is None:
         return df
     done = manifest.filter(F.col("stage") == stage).select(
-        F.col("partition").alias(partition_col)
+        F.col("partition").alias("_done_part")
     ).distinct()
-    return df.join(F.broadcast(done), on=partition_col, how="left_anti")
+    out = df.withColumn("_part_key", _partition_key(partition_col))
+    out = out.join(
+        F.broadcast(done),
+        on=out["_part_key"] == done["_done_part"],
+        how="left_anti",
+    )
+    return out.drop("_part_key")
 
 
 def run_stage(
@@ -101,8 +115,9 @@ def run_stage(
     observed = pending.observe(
         obs,
         *[c.alias(k) for k, c in metrics.items()],
-        # partition values captured during the SAME action — no extra pass
-        F.collect_set(F.col(partition_col).cast("string")).alias("_parts"),
+        # partition values captured during the SAME action — no extra pass;
+        # NULL partitions tracked under the sentinel key
+        F.collect_set(_partition_key(partition_col)).alias("_parts"),
     )
 
     t0 = time.monotonic()

@@ -946,8 +946,11 @@ def stream_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame
     from beholder_spark.streaming import windowed_counts
 
     # streaming file sources need a DIRECTORY; stage the single-file
-    # table into a cached per-sf dir
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # table into a cached dir keyed by path + mtime + size, so a
+    # regenerated fixture invalidates the stage instead of silently
+    # serving stale rows
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
     src_dir = f"/tmp/beholder_stream_src_{tag}"
     if not os.path.exists(os.path.join(src_dir, "events.parquet")):
         os.makedirs(src_dir, exist_ok=True)

@@ -177,3 +177,36 @@ def test_config_tee_collects_sink_without_affecting_flow(spark, messages, tmp_pa
     # tee's keep did not project the main flow
     assert "payload" in out.columns and out.select("seen").first().seen == "yes"
     assert len(compiled.sinks) == 1
+    # the sink captured the TEE block's frame (only $lang), not the final
+    # flow — later `set $seen` does not retroactively appear in the sink
+    assert compiled.sinks[0]["df"].columns == ["lang"]
+    # re-applying the compiled config does not duplicate sink specs
+    compiled(messages)
+    assert len(compiled.sinks) == 1
+
+
+def test_config_sink_captures_before_case_drop(spark, messages, tmp_path):
+    """`case { to file; drop; }` writes the route's rows, THEN discards
+    them from the flow (Beholder command order)."""
+    cfg = """
+    switch '{$lang}' {
+      case ~en~ { to file '/en.log'; drop; }
+      default { }
+    }
+    """
+    compiled = C.compile_config(cfg)
+    out = compiled(messages)
+    assert out.filter(F.col("route") == "case_1").count() == 0  # dropped from flow
+    assert compiled.sinks[0]["df"].count() == 2  # but the sink kept them
+
+
+def test_config_drop_if_keeps_null_fields(spark):
+    df = spark.createDataFrame([("a", "spam"), ("b", None), ("c", "ok")], ["s", "flag"])
+    out = C.compile_config("drop if $flag == 'spam';")(df)
+    assert {r.s for r in out.collect()} == {"b", "c"}  # NULL flag KEPT
+
+
+def test_config_set_date_requires_column(spark):
+    df = spark.createDataFrame([("a",)], ["s"])
+    with pytest.raises(C.ConfigError):
+        C.compile_config("set $f date;")(df)

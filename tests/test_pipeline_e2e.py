@@ -116,6 +116,32 @@ def test_lineage_metrics(pipeline_out, spark):
     assert len(manifest) == row.n_partitions
 
 
+def test_resume_null_day_rows_exactly_once(spark, tmp_path):
+    """Rows with NULL warc_ts land in the default partition, are tracked
+    under the manifest's sentinel key, and are neither silently dropped
+    nor re-appended by a resumed run."""
+    import datetime as dt
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/x", dt.datetime(2026, 1, 1), b"<p>hi</p>", "hi", "en"),
+            ("https://a.example/y", None, b"<p>null day</p>", "null day", "en"),
+        ],
+        ["url", "warc_ts", "html", "text", "lang"],
+    )
+    lookup = spark.createDataFrame([("a.example", "EU", "news")], ["host", "geo", "category"])
+    pp, lp, out = str(tmp_path / "p"), str(tmp_path / "l"), str(tmp_path / "o")
+    pages.write.parquet(pp)
+    lookup.write.parquet(lp)
+
+    res1 = run_pages_pipeline(spark, pp, lp, out)
+    assert res1["routed"].count() == 2
+    res2 = run_pages_pipeline(spark, pp, lp, out)
+    assert res2["routed"].count() == 2  # not 3 (no re-append), not 1 (no drop)
+    lin = ln.read_lineage(spark, out).toPandas()
+    assert sorted(lin.rows_out.tolist()) == [0, 2]
+
+
 def test_resume_skips_completed_partitions(pipeline_out, spark, fixture_dir):
     """Second run over the same input: every partition is in the manifest,
     so the stage writes 0 rows (resumable without recomputation)."""

@@ -77,7 +77,11 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
     for uid in range(5):
         t = base + dt.timedelta(minutes=uid)
         for j in range(20):
-            gap = dt.timedelta(minutes=45 if j % 7 == 0 and j else j % 5)
+            # j%6==0 → exactly the 30-min gap: the SPEC boundary (merges —
+            # session_window merges touching windows; batch uses > gap)
+            gap = dt.timedelta(
+                minutes=45 if j % 7 == 0 and j else (30 if j % 6 == 0 and j else j % 5)
+            )
             t = t + gap
             rows.append((uid, t))
     df = spark.createDataFrame(rows, ["user_id", "ts"])
