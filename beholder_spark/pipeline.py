@@ -44,8 +44,28 @@ def _op_parse_text(df: DataFrame, st: dict) -> DataFrame:
     return out.withColumn("parse_ok", F.col(st.get("dst", "text_out")).isNotNull())
 
 
+def _op_parse_text_dedup(df: DataFrame, st: dict) -> DataFrame:
+    """Payload-dedup parse: extract once per DISTINCT payload, join the
+    result back by payload hash.
+
+    Re-crawl-heavy corpora (Common Crawl) carry the same html under many
+    urls; plain parse pays Python extraction per ROW, this variant pays
+    per distinct PAYLOAD + two shuffles of (32-byte hash, text). Worth it
+    when dup_rate × extract_cost > shuffle cost — measure (bench reports
+    both). Byte-identical to the plain path by construction (same UDF on
+    the same bytes; NULL payloads ride a sentinel hash so they join back).
+    """
+    src, dst = st["src"], st.get("dst", "text_out")
+    hashed = df.withColumn("_ph", F.coalesce(F.md5(F.col(src)), F.lit("__NULL__")))
+    distinct = hashed.select("_ph", src).dropDuplicates(["_ph"])
+    extracted = distinct.withColumn(dst, extract_text_udf(F.col(src))).select("_ph", dst)
+    out = hashed.join(extracted, "_ph").drop("_ph")
+    return out.withColumn("parse_ok", F.col(dst).isNotNull())
+
+
 OPS = {
     "parse_text": _op_parse_text,
+    "parse_text_dedup": _op_parse_text_dedup,
     "set_host": lambda df, st: fo.set_host_from_url(df, st.get("field", "host"), st.get("url_col", "url")),
     "set": lambda df, st: fo.set_template(df, st["field"], st["template"], *st["cols"]),
     "set_replace": lambda df, st: fo.set_replace(df, st["field"], st["pattern"], st["replacement"], st.get("src")),
@@ -88,9 +108,9 @@ def default_routes() -> list:
     ]
 
 
-def pages_spec(lookup: DataFrame) -> list[dict[str, Any]]:
+def pages_spec(lookup: DataFrame, dedup_parse: bool = False) -> list[dict[str, Any]]:
     return [
-        {"op": "parse_text", "src": "html", "dst": "text_out"},
+        {"op": "parse_text_dedup" if dedup_parse else "parse_text", "src": "html", "dst": "text_out"},
         {"op": "set_host", "url_col": "url"},
         {"op": "enrich", "lookup": lookup, "on": "host"},
         {"op": "route", "cases": default_routes()},
@@ -103,6 +123,7 @@ def run_pages_pipeline(
     lookup_path: str,
     out_root: str,
     checkpoint: bool = True,
+    dedup_parse: bool = False,
 ) -> dict[str, DataFrame]:
     """Full parse→enrich→route→aggregate over the pages table.
 
@@ -135,7 +156,7 @@ def run_pages_pipeline(
             )
             pages = pages.filter(~day_key.isin(*done))
 
-    routed = compile_pipeline(pages, pages_spec(lookup))
+    routed = compile_pipeline(pages, pages_spec(lookup, dedup_parse=dedup_parse))
     routed = routed.withColumn("day", F.to_date(F.col("warc_ts")))
 
     # Sink hygiene at 100 TB: the routed table carries the pipeline's

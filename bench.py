@@ -85,7 +85,9 @@ def ensure_bench_tables(spark=None) -> tuple[str, str]:
     return PAGES_CACHE, LOOKUP_CACHE
 
 
-def run_pipeline_once(spark, pages_path: str, lookup_path: str) -> tuple[float, int]:
+def run_pipeline_once(
+    spark, pages_path: str, lookup_path: str, dedup_parse: bool = False
+) -> tuple[float, int]:
     """One full parse→enrich→route→aggregate pass; returns (sec, docs).
 
     Benchmark hygiene for the VM's shared virtio disk: drain dirty-page
@@ -99,7 +101,9 @@ def run_pipeline_once(spark, pages_path: str, lookup_path: str) -> tuple[float, 
     n = spark.read.parquet(pages_path).count()  # also warms the page cache
     subprocess.run(["sync"], check=False)
     t0 = time.monotonic()
-    run_pages_pipeline(spark, pages_path, lookup_path, out, checkpoint=False)
+    run_pages_pipeline(
+        spark, pages_path, lookup_path, out, checkpoint=False, dedup_parse=dedup_parse
+    )
     return time.monotonic() - t0, n
 
 
@@ -145,6 +149,10 @@ def main_bench() -> None:
     # warm the JVM/scan once, then measure
     run_pipeline_once(spark, pages_path, lookup_path)
     sec, docs = run_pipeline_once(spark, pages_path, lookup_path)
+    # payload-dedup parse variant (extract once per distinct html — the
+    # re-crawl-heavy-corpus optimization; reported alongside, not as the
+    # headline, because its win scales with the input's duplicate rate)
+    dd_sec, _ = run_pipeline_once(spark, pages_path, lookup_path, dedup_parse=True)
     qtimes = run_queries(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -156,6 +164,8 @@ def main_bench() -> None:
                 "unit": "docs/sec",
                 "pipeline_sec": round(sec, 2),
                 "pipeline_docs": docs,
+                "dedup_parse_sec": round(dd_sec, 2),
+                "dedup_parse_docs_per_sec": round(docs / dd_sec, 1),
                 "queries": qtimes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
