@@ -23,19 +23,30 @@ def ship_package(spark: SparkSession) -> None:
     """
     if getattr(spark, "_beholder_pkg_added", False):
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg)
-    fd, zip_path = tempfile.mkstemp(prefix="beholder_spark_", suffix=".zip")
-    os.close(fd)
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for dirpath, _dirs, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(dirpath, f)
-                    zf.write(full, os.path.relpath(full, root))
+    sources = sorted(
+        os.path.join(dp, f)
+        for dp, _dirs, files in os.walk(pkg)
+        for f in files
+        if f.endswith(".py")
+    )
+    # content-addressed zip: reruns reuse it instead of littering tmp
+    h = hashlib.md5()
+    for full in sources:
+        h.update(full.encode())
+        h.update(open(full, "rb").read())
+    zip_path = os.path.join(tempfile.gettempdir(), f"beholder_spark_{h.hexdigest()[:12]}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full in sources:
+                zf.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zip_path)  # atomic vs concurrent sessions
     spark.sparkContext.addPyFile(zip_path)
     spark._beholder_pkg_added = True
 

@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions — the scale properties PLANS.md claims,
+checked mechanically so they can't silently regress:
+
+- filters/partition predicates reach the parquet scan,
+- the lookup enrich is a broadcast join (big side never shuffles),
+- salted aggregation is two hash-aggregate phases,
+- the parse→enrich→route chain has no Exchange before the sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruning_on_routed_sink(spark, fixture_dir, tmp_path):
+    """Reading one day of a day-partitioned sink must prune partitions at
+    the scan (PartitionFilters), not filter after reading everything."""
+    df = (
+        spark.read.parquet(f"{fixture_dir}/pages.parquet")
+        .withColumn("day", F.to_date("warc_ts"))
+    )
+    out = str(tmp_path / "parts")
+    df.write.partitionBy("day").parquet(out)
+    one_day = df.select("day").first().day
+    back = spark.read.parquet(out).filter(F.col("day") == F.lit(one_day))
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_predicate_pushdown_to_scan(spark, fixture_dir):
+    df = spark.read.parquet(f"{fixture_dir}/pages.parquet").filter(F.col("lang") == "en")
+    plan = _plan(df.select("url"))
+    pushed = plan.split("PushedFilters:", 1)[1][:200]
+    assert "lang" in pushed  # EqualTo(lang,en) reached the parquet reader
+    # column pruning: the scan reads only url+lang, never html/text
+    read_schema = plan.split("ReadSchema:", 1)[1][:200]
+    assert "html" not in read_schema and "text" not in read_schema
+
+
+def test_enrich_is_broadcast_join(spark, fixture_dir):
+    from beholder_spark.operators.enrich import enrich_lookup
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").withColumn(
+        "host", F.parse_url(F.col("url"), F.lit("HOST"))
+    )
+    lookup = spark.read.parquet(f"{fixture_dir}/host_lookup.parquet")
+    plan = _plan(enrich_lookup(pages, lookup, on="host"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_routed_chain_has_no_exchange(spark, fixture_dir):
+    """parse→enrich→route is ONE narrow pipeline: the only allowed
+    Exchange is the broadcast of the lookup table."""
+    from beholder_spark.pipeline import compile_pipeline, pages_spec
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    lookup = spark.read.parquet(f"{fixture_dir}/host_lookup.parquet")
+    routed = compile_pipeline(pages, pages_spec(lookup))
+    plan = _plan(routed)
+    assert "BroadcastExchange" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_salted_count_is_two_phase(spark, fixture_dir):
+    from beholder_spark.operators.skew import salted_count
+
+    events = spark.read.parquet(f"{fixture_dir}/loglines.parquet")
+    col = events.columns[0]
+    out = salted_count(events, [col], salt_from=col)
+    plan = _plan(out)
+    # phase 1 partial on (key, salt), phase 2 final on key — at least two
+    # HashAggregate pairs and a shuffle keyed by the salt column
+    assert plan.count("HashAggregate") >= 4
+    assert "_salt" in plan
