@@ -625,6 +625,47 @@ def salted_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "textlines_syslog_severity_counts",
+    """
+    SELECT CAST(pri % 8 AS VARCHAR) AS severity, count(*) AS n
+    FROM (
+      SELECT CAST(regexp_extract('<' || CAST((e.event_id % 100) AS VARCHAR) || '>1 2026-01-01T00:00:00Z h prog - - - hello',
+                                 '^<(\\d+)>', 1) AS BIGINT) AS pri
+      FROM events e
+    )
+    WHERE pri <= 191
+    GROUP BY 1
+    """,
+)
+def textlines_syslog_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 newline-framed text source end-to-end: write syslog-shaped lines
+    to a text file, scan with from_text_lines, parse syslog (Arrow UDF),
+    count by severity — the whole text-ingest path under the oracle."""
+    import hashlib
+    import os
+
+    from beholder_spark import sources
+
+    # deterministic line file derived from events (cached per sf)
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    path = f"/tmp/beholder_textlines_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        lines = _t(spark, sf_dir, "events").select(
+            F.concat(
+                F.lit("<"),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit(">1 2026-01-01T00:00:00Z h prog - - - hello"),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(path)
+
+    df = sources.from_text_lines(spark, path, source_tag="tcp://0.0.0.0:5140")
+    parsed = parse.parse_syslog(df, col="payload", keep_unparsed=False)
+    return parsed.groupBy("severity").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
     "percentiles_value_by_type",
     """
     SELECT event_type,
