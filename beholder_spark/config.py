@@ -316,6 +316,7 @@ def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame
     route_col: Column | None = None
     route_names: list[str] = []
     case_blocks: list[tuple[str, list[Command]]] = []
+    case_captures: list[tuple[str, str, list[str]]] = []  # (route, pattern, group names)
     default_block: list[Command] | None = None
     n = 0
     for sub in cmd.block or []:
@@ -329,6 +330,9 @@ def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame
             )
             route_names.append(name)
             case_blocks.append((name, sub.block or []))
+            groups = re.findall(r"\(\?<(\w+)>", pat)
+            if groups:
+                case_captures.append((name, pat, groups))
         elif sub.name == "default":
             default_block = sub.block or []
         else:
@@ -338,6 +342,18 @@ def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame
         route_col = F.when(F.lit(False), "x")
     route_col = route_col.otherwise(default_name)
     df = df.withColumn("route", route_col)
+    # R2 case-capture: named groups in a case regex become fields on the
+    # rows that matched that case (NULL elsewhere). Group index = position
+    # among the pattern's capturing groups (named groups only, no
+    # unnamed-group interleaving supported — documented subset).
+    for name, pat, groups in case_captures:
+        for gi, gname in enumerate(groups, start=1):
+            df = df.withColumn(
+                gname,
+                F.when(
+                    F.col("route") == name, F.regexp_extract(subject, pat, gi)
+                ).otherwise(F.lit(None)),
+            )
     # apply each case's sub-pipeline to its slice only: `drop;` discards
     # the route, `to file` registers a per-route sink, `set $f '<tpl>'`
     # assigns guarded by route (other routes keep their value / NULL).

@@ -101,6 +101,19 @@ def test_config_switch_first_match_and_quarantine(spark, messages):
     assert got["fr"] == ("_unmatched", None)  # no default → quarantined, not dropped
 
 
+def test_config_case_capture_named_groups(spark):
+    """R2: a case regex's named groups become fields on matched rows."""
+    df = spark.createDataFrame(
+        [("GET /a.html 200",), ("POST /b.json 500",), ("garbage",)], ["payload"]
+    )
+    cfg = "switch '{$payload}' { case ~^(?<verb>GET|POST) (?<path>\\S+)~ { } }"
+    out = C.compile_config(cfg)(df)
+    rows = {r.payload: (r.route, r.verb, r.path) for r in out.collect()}
+    assert rows["GET /a.html 200"] == ("case_1", "GET", "/a.html")
+    assert rows["POST /b.json 500"] == ("case_1", "POST", "/b.json")
+    assert rows["garbage"] == ("_unmatched", None, None)
+
+
 def test_config_case_drop(spark, messages):
     cfg = """
     switch '{$lang}' {
