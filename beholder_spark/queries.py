@@ -1047,6 +1047,53 @@ def sort_merge_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sample_hash_documents",
+    """
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    GROUP BY lang
+    """,
+)
+def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample (md5-keyed, never rand()): same
+    rows on every run/engine — resumable sampling at 100 TB; the oracle
+    makes the identical per-row decision."""
+    from beholder_spark.operators import sample
+
+    d = sample.sample_hash(_t(spark, sf_dir, "documents"), "doc_id", rate=0.1)
+    return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "sample_stratified_langs",
+    """
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN lang = 'en' THEN '0ccccccc'    -- 5%
+               WHEN lang = 'de' THEN 'g'           -- 100% ('g' > any hex)
+               ELSE '33333333' END                 -- 20%
+    GROUP BY lang
+    """,
+)
+def sample_stratified_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (downsample the dominant lang,
+    keep low-resource ones): rate map compiles to a CASE literal — no
+    join, one hash per row."""
+    from beholder_spark.operators import sample
+
+    d = sample.sample_stratified(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        rates={"en": 0.05, "de": 1.0},
+        default_rate=0.2,
+    )
+    return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = (

@@ -85,3 +85,19 @@ def test_dedup_latest_deterministic(spark):
     df = spark.createDataFrame(rows, ["k", "ts", "v"]).withColumn("ts", F.to_timestamp("ts"))
     out = {r.k: r.v for r in dedup_latest(df, "k", "ts", tiebreak="v").collect()}
     assert out == {1: "b", 2: "c"}
+
+
+def test_sample_hash_deterministic_nested_and_split(spark):
+    from beholder_spark.operators.sample import sample_hash, split_hash
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    s10 = {r.k for r in sample_hash(df, "k", 0.1).collect()}
+    s20 = {r.k for r in sample_hash(df, "k", 0.2).collect()}
+    assert s10 == {r.k for r in sample_hash(df, "k", 0.1).collect()}  # deterministic
+    assert s10 <= s20  # nested brackets from the same hash
+    assert 0.05 < len(s10) / 5000 < 0.15 and 0.15 < len(s20) / 5000 < 0.25
+
+    train, hold = split_hash(df, "k", 0.8)
+    a = {r.k for r in train.collect()}
+    b = {r.k for r in hold.collect()}
+    assert a.isdisjoint(b) and len(a) + len(b) == 5000  # no row lost or doubled
