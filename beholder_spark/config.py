@@ -296,6 +296,10 @@ def _compile_drop(df: DataFrame, cmd: Command) -> DataFrame:
     if cmd.args[0].value != "if":
         raise ConfigError("expected `drop if $col == 'value'`")
     col, op, val = _field(cmd.args[1]), cmd.args[2].value, cmd.args[3].value
+    if op not in ("==", "!="):
+        # fail at compile time: silently treating `>=` or a typo'd `=` as
+        # `!=` would drop the complement of the intended rows
+        raise ConfigError(f"drop if supports only == and !=, got {op!r}")
     cond = (F.col(col) == F.lit(val)) if op == "==" else (F.col(col) != F.lit(val))
     # SPEC: a NULL field compares unknown → the row is KEPT (quarantine
     # philosophy: never silently drop on missing data; SURVEY.md §2.4 R3)
@@ -348,11 +352,15 @@ def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame
     # unnamed-group interleaving supported — documented subset).
     for name, pat, groups in case_captures:
         for gi, gname in enumerate(groups, start=1):
+            # preserve-existing: when two cases capture the same group
+            # name, the later case must not NULL out rows the earlier
+            # case already filled (same pattern as guarded `set` below)
+            existing = F.col(gname) if gname in df.columns else F.lit(None).cast("string")
             df = df.withColumn(
                 gname,
                 F.when(
                     F.col("route") == name, F.regexp_extract(subject, pat, gi)
-                ).otherwise(F.lit(None)),
+                ).otherwise(existing),
             )
     # apply each case's sub-pipeline to its slice only: `drop;` discards
     # the route, `to file` registers a per-route sink, `set $f '<tpl>'`

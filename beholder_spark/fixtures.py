@@ -184,10 +184,11 @@ def gen_loglines(n_rows: int, seed: int = SEED) -> pa.Table:
             exp = dict(facility=str(fac), severity=str(sev), host=host, program=prog, pid=str(pid), payload=msg)
         elif r < 0.90:  # JSON object line
             raw = json.dumps({"host": host, "program": prog, "pid": pid, "msg": msg}, sort_keys=True)
-            exp = dict(facility=None, severity=None, host=None, program=None, pid=None, payload=None)
+            # SPEC P7: unparseable rows keep the raw line as payload
+            exp = dict(facility=None, severity=None, host=None, program=None, pid=None, payload=raw)
         else:  # garbage
             raw = "".join(chr(rng.randint(33, 126)) for _ in range(rng.randint(5, 40)))
-            exp = dict(facility=None, severity=None, host=None, program=None, pid=None, payload=None)
+            exp = dict(facility=None, severity=None, host=None, program=None, pid=None, payload=raw)
         rows.append({"line_id": i, "raw": raw.encode("utf-8"), **{f"expected_{k}": v for k, v in exp.items()}})
 
     cols = {k: [r[k] for r in rows] for k in rows[0]}

@@ -8,17 +8,29 @@ reproduce signatures bit-for-bit.
 
 At 100 TB: the explode(shingles) stage is a generator (no shuffle); the
 signature groupBy shuffles (doc_id → K minhash strings) ≈ K·32 bytes/doc;
-the band self-join shuffles band keys only. Skewed bands (boilerplate
-documents) are bounded by a per-band candidate cap.
+the band self-join shuffles band keys only. Skewed buckets (boilerplate
+documents) are bounded: MinHash caps per-(band,bucket) membership at
+``max_bucket_size`` via a deterministic row_number window (pairs per
+bucket ≤ cap², never O(members²) on one hot key), and n-gram Jaccard
+drops stop-shingles whose document frequency exceeds ``max_doc_freq``
+(boilerplate shingles carry no similarity signal and would otherwise
+explode the shingle self-join on one key). Both caps are deterministic
+(ordered by doc id / exact frequency), so the DuckDB oracle reproduces
+the capped result exactly — no silent truncation: the capped variants
+are their own oracle-checked queries.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_K = 8  # minhash permutations
 DEFAULT_BANDS = 4  # LSH bands (rows per band = K / BANDS)
+# skew bounds — generous enough to be exact on healthy corpora, hard
+# enough that one boilerplate key cannot produce an O(n²) pair explosion
+DEFAULT_MAX_BUCKET = 10_000
+DEFAULT_MAX_DOC_FREQ = 10_000
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -70,15 +82,30 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: distinct (doc_a < doc_b) sharing
-    ≥1 band bucket. The join key is (band, bucket) — tiny and uniform
-    unless the corpus has boilerplate; cap skew upstream by filtering
-    empty/short docs before calling.
+    ≥1 band bucket. The join key is (band, bucket) — tiny and uniform on
+    healthy corpora; boilerplate collapses many docs into one bucket, so
+    membership per (band, bucket) is capped at ``max_bucket_size``
+    (deterministic: lowest ids kept, via row_number ordered by id) —
+    pairs per bucket ≤ cap·(cap−1)/2 instead of O(members²) on one hot
+    key. SEMANTICS under the cap: docs beyond it in an over-full bucket
+    lose that band's candidacy (they usually share other bands; genuine
+    boilerplate buckets carry no near-dup signal worth O(n²) anyway).
+    ``None`` disables. The cap is exact and engine-reproducible — the
+    capped variant has its own DuckDB oracle (QUALIFY row_number()).
     """
     sh = word_shingles(df, id_col, text_col, shingle_n)
     sig = minhash_signatures(sh, id_col, k)
     bb = lsh_band_buckets(sig, id_col, k, bands)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col))
+        bb = (
+            bb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     a = bb.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = bb.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -90,16 +117,34 @@ def minhash_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 5, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle.
 
     shared/(|A|+|B|-shared) on distinct shingle sets — exact rational of
     ints, so the oracle matches bit-for-bit. The shingle self-join is the
-    candidate generator; with large n the shingle space is sparse enough
-    that bucket sizes stay bounded (boilerplate → pre-filter).
+    candidate generator; a shingle appearing in m docs contributes m²
+    join rows, so stop-shingles (document frequency > ``max_doc_freq``:
+    headers, navigation, licence boilerplate) are excluded from the
+    shingle SETS themselves (join AND sizes — Jaccard stays an exact
+    ratio over the filtered space). The hot set is tiny by construction →
+    broadcast anti-join; ``None`` disables. Deterministic (exact
+    frequencies), so the filtered variant has its own DuckDB oracle.
     """
     sh = word_shingles(df, id_col, text_col, shingle_n)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -119,24 +164,36 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
-def simhash16(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """16-bit SimHash over whitespace tokens (md5-nibble bits).
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash", bits: int = 16
+) -> DataFrame:
+    """``bits``-bit SimHash over whitespace tokens (md5-nibble bits).
 
     bit_j(tok) = (hex_nibble(md5(tok), j//4) >> (3 - j%4)) & 1;
     s_j = Σ_tokens (2·bit_j − 1);  simhash = Σ_j (s_j > 0)·2^j.
-    One explode + one hash aggregate; everything md5-based → oracle-exact.
-    16 bits keeps the oracle SQL tractable; widen K for production recall.
+    One explode + one hash aggregate; everything md5-based → oracle-exact
+    at ANY width (the oracle SQL is generated for the same ``bits``).
+    md5 yields 128 independent bits; the long-typed assembly allows 62
+    (sign-safe). Wider hashes lower collision rates on large corpora —
+    production near-dup banding typically slices a 64-bit simhash.
     """
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     h = F.md5(F.col("tok"))
     aggs = []
-    for j in range(16):
+    for j in range(bits):
         nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, j // 4 + 1, 1)) - 1
         bit = F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
         aggs.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
     sums = toks.groupBy(id_col).agg(*aggs)
     sim = None
-    for j in range(16):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return sums.select(F.col(id_col), sim.cast("long").alias(out_col))
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """16-bit SimHash (compact oracle-demo width; see :func:`simhash`)."""
+    return simhash(df, id_col, text_col, out_col, bits=16)

@@ -11,13 +11,18 @@ SPEC parse_ok / keep-unparsed (P7 — reference default unverifiable,
 SURVEY.md §2.2): every parse stage emits ``parse_ok: boolean``. Default
 routing sends ``NOT parse_ok`` rows to a ``_unparsed`` quarantine route —
 never silent loss; ``keep_unparsed=True`` keeps them in-stream with NULL
-extracted fields.
+extracted fields EXCEPT ``payload``, which carries the original raw line
+on parse failure ("unparseable messages pass through unchanged"): since
+parsed fields overwrite same-named message fields, a NULL payload would
+make the raw line unrecoverable when the source column IS ``payload``
+(the config front end's default) — that would be silent loss.
 """
 
 from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -49,35 +54,50 @@ _RFC5424 = re.compile(
 )
 
 
-def _parse_syslog_line(raw: bytes | str | None) -> tuple:
-    if raw is None:
-        return (None,) * 7 + (False,)
-    s = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
-    m = _RFC5424.match(s) or _RFC3164.match(s)
-    if m is None:
-        return (None,) * 7 + (False,)
-    g = m.groupdict()
-    pri = int(g["pri"])
-    if pri > 191:  # PRI out of RFC range → unparseable
-        return (None,) * 7 + (False,)
-    pid = g.get("pid")
-    msgid = g.get("msgid")
-    return (
-        str(pri // 8),
-        str(pri % 8),
-        g["host"],
-        g["program"],
-        None if pid in (None, "-") else pid,
-        None if msgid in (None, "-") else msgid,
-        g["msg"],
-        True,
-    )
+def _decode_series(raw: pd.Series) -> pd.Series:
+    """bytes → str (utf-8, replace); string input passes through."""
+    if raw.map(lambda v: isinstance(v, (bytes, bytearray))).any():
+        return raw.map(
+            lambda v: v.decode("utf-8", errors="replace")
+            if isinstance(v, (bytes, bytearray))
+            else v
+        )
+    return raw
 
 
 @F.pandas_udf(_SYSLOG_SCHEMA)
 def _syslog_udf(raw: pd.Series) -> pd.DataFrame:
-    rows = [_parse_syslog_line(v) for v in raw]
-    return pd.DataFrame(rows, columns=SYSLOG_FIELDS + ["parse_ok"])
+    """Vectorized syslog header parse: both RFC grammars run as
+    ``Series.str.extract`` (the regex loop executes in C over the whole
+    Arrow batch — no per-row Python), RFC5424 winning where both match,
+    exactly the old per-row ``_RFC5424.match(s) or _RFC3164.match(s)``
+    precedence. The anchored patterns make extract ≡ match."""
+    s = _decode_series(raw)
+    m5 = s.str.extract(_RFC5424)
+    m3 = s.str.extract(_RFC3164).reindex(columns=m5.columns)  # msgid ← NaN
+    use5 = m5["pri"].notna().to_numpy()
+    g = pd.DataFrame(
+        np.where(use5[:, None], m5.to_numpy(), m3.to_numpy()),
+        columns=m5.columns,
+        index=s.index,
+    )
+    pri = pd.to_numeric(g["pri"], errors="coerce")
+    ok = (pri.notna() & (pri <= 191)).rename(None)  # PRI > 191 → unparseable
+    pri_i = pri.fillna(0).astype("int64")
+    return pd.DataFrame(
+        {
+            "facility": (pri_i // 8).astype(str).where(ok),
+            "severity": (pri_i % 8).astype(str).where(ok),
+            "host": g["host"].where(ok),
+            "program": g["program"].where(ok),
+            "pid": g["pid"].where(ok & (g["pid"] != "-")),
+            "message_id": g["msgid"].where(ok & (g["msgid"] != "-")),
+            # SPEC P7: failed rows carry the ORIGINAL line in payload —
+            # never-silent-loss even when the source column is payload
+            "payload": g["msg"].where(ok, s),
+            "parse_ok": ok,
+        }
+    )
 
 
 def parse_syslog(df: DataFrame, col: str = "raw", keep_unparsed: bool = False) -> DataFrame:
@@ -89,7 +109,10 @@ def parse_syslog(df: DataFrame, col: str = "raw", keep_unparsed: bool = False) -
 
     SPEC (Beholder field semantics): parsed fields OVERWRITE same-named
     existing message fields — ``parse syslog`` replaces ``$payload`` with
-    the message body, ``$host`` with the header host, etc.
+    the message body, ``$host`` with the header host, etc. On parse
+    failure ``payload`` holds the original raw line (decoded), so
+    ``keep_unparsed=True`` never loses the message even when ``col`` is
+    itself ``payload`` (P7: pass through unchanged).
     """
     keep_cols = [c for c in df.columns if c not in {*SYSLOG_FIELDS, "parse_ok"}]
     out = df.withColumn("_sys", _syslog_udf(F.col(col))).select(*keep_cols, "_sys.*")

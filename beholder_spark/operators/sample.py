@@ -20,6 +20,17 @@ from pyspark.sql import functions as F
 
 _HEX_SPACE = 16 ** 8  # compare on the first 8 hex chars: 32-bit granularity
 
+# NULL keys hash under a sentinel (md5(NULL) is NULL, and a NULL
+# comparison would silently exclude the row from BOTH sides of a split —
+# same '__NULL__' convention as plans/lineage.py's manifest key)
+NULL_KEY = "__NULL__"
+
+
+def _key_hash(key: str) -> Column:
+    return F.substring(
+        F.md5(F.coalesce(F.col(key).cast("string"), F.lit(NULL_KEY))), 1, 8
+    )
+
 
 def _threshold_hex(rate: float) -> str:
     """8-hex-digit string h such that P(md5 prefix < h) ≈ rate.
@@ -38,15 +49,18 @@ def sample_hash(df: DataFrame, key: str, rate: float) -> DataFrame:
 
     Same key → same decision on every run, executor, and engine; disjoint
     rate brackets give disjoint samples (rate=0.1 ⊂ rate=0.2 — nested
-    samples for train/val splits come free from the same hash).
+    samples for train/val splits come free from the same hash). NULL keys
+    hash under the sentinel, so they share one decision (kept at any rate
+    where md5('__NULL__') prefix < threshold) rather than vanishing.
     """
-    return df.filter(F.substring(F.md5(F.col(key).cast("string")), 1, 8) < _threshold_hex(rate))
+    return df.filter(_key_hash(key) < _threshold_hex(rate))
 
 
 def split_hash(df: DataFrame, key: str, rate: float) -> tuple[DataFrame, DataFrame]:
     """Deterministic two-way split (e.g. train/holdout): complementary
-    subsets by the same hash — no row in both, none lost."""
-    h = F.substring(F.md5(F.col(key).cast("string")), 1, 8)
+    subsets by the same hash — no row in both, none lost (NULL keys ride
+    the sentinel hash, landing together in exactly one side)."""
+    h = _key_hash(key)
     t = _threshold_hex(rate)
     return df.filter(h < t), df.filter(~(h < t))
 
@@ -58,4 +72,4 @@ def sample_stratified(df: DataFrame, key: str, strata_col: str, rates: dict[str,
     thr: Column = F.lit(_threshold_hex(default_rate))
     for value, rate in rates.items():
         thr = F.when(F.col(strata_col) == value, F.lit(_threshold_hex(rate))).otherwise(thr)
-    return df.filter(F.substring(F.md5(F.col(key).cast("string")), 1, 8) < thr)
+    return df.filter(_key_hash(key) < thr)

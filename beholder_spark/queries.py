@@ -1052,7 +1052,7 @@ def sort_merge_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, count(*) AS n
     FROM documents
-    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    WHERE substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__NULL__')), 1, 8) < '19999999'
     GROUP BY lang
     """,
 )
@@ -1071,7 +1071,7 @@ def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, count(*) AS n
     FROM documents
-    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+    WHERE substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__NULL__')), 1, 8) <
           CASE WHEN lang = 'en' THEN '0ccccccc'    -- 5%
                WHEN lang = 'de' THEN 'g'           -- 100% ('g' > any hex)
                ELSE '33333333' END                 -- 20%
@@ -1104,7 +1104,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(dups)
 
 
-def _minhash_sql(k: int = 8, bands: int = 4) -> str:
+def _minhash_sql(k: int = 8, bands: int = 4, cap: int | None = None) -> str:
     mins = ",\n             ".join(
         f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(k)
     )
@@ -1115,6 +1115,16 @@ def _minhash_sql(k: int = 8, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
+    capped = (
+        ""
+        if cap is None
+        else f""",
+    capped AS (
+      SELECT doc_id, band, bucket FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= {cap}
+    )"""
+    )
+    src = "bands" if cap is None else "capped"
     return f"""
     WITH corpus AS ({_CORPUS_SQL}),
     shingles AS (
@@ -1128,9 +1138,9 @@ def _minhash_sql(k: int = 8, bands: int = 4) -> str:
     ),
     bands AS (
       {band_selects}
-    )
+    ){capped}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+    FROM {src} a JOIN {src} b ON a.band = b.band AND a.bucket = b.bucket
     WHERE a.doc_id < b.doc_id
     """
 
@@ -1138,22 +1148,49 @@ def _minhash_sql(k: int = 8, bands: int = 4) -> str:
 @_register("dedup_minhash_lsh", _minhash_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join.
-    All hashing is md5-derived so the oracle reproduces signatures exactly."""
+    All hashing is md5-derived so the oracle reproduces signatures exactly.
+    The default per-bucket cap (10k) is a deliberate no-op at oracle scale
+    — the CAPPED skew path is oracle-checked by dedup_minhash_lsh_capped."""
     return dd.minhash_candidate_pairs(_corpus(spark, sf_dir), "doc_id", "text", shingle_n=3)
 
 
-def _jaccard_sql(n: int = 5, threshold: float = 0.5) -> str:
+@_register("dedup_minhash_lsh_capped", _minhash_sql(cap=2))
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-bounded LSH path with a BINDING cap (max_bucket_size=2):
+    every (band, bucket) keeps its two lowest doc_ids, so a boilerplate
+    bucket contributes ≤1 pair instead of O(members²). The cap is
+    deterministic (row_number ordered by doc_id) — the oracle reproduces
+    it exactly with QUALIFY, proving the bound is a defined semantic, not
+    silent truncation."""
+    return dd.minhash_candidate_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", shingle_n=3, max_bucket_size=2
+    )
+
+
+def _jaccard_sql(n: int = 5, threshold: float = 0.5, max_df: int | None = None) -> str:
+    stop = (
+        ""
+        if max_df is None
+        else f""",
+    kept AS (
+      SELECT * FROM shingles
+      WHERE shingle NOT IN (
+        SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) > {max_df}
+      )
+    )"""
+    )
+    src = "shingles" if max_df is None else "kept"
     return f"""
     WITH corpus AS ({_CORPUS_SQL}),
     shingles AS (
       SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
            (SELECT unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS i)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    ){stop},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+      FROM {src} a JOIN {src} b ON a.shingle = b.shingle
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -1169,17 +1206,31 @@ def _jaccard_sql(n: int = 5, threshold: float = 0.5) -> str:
 @_register("dedup_ngram_jaccard", _jaccard_sql())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over shingle-sharing candidate pairs; the
-    ratio is int/int so both engines agree bit-for-bit."""
+    ratio is int/int so both engines agree bit-for-bit. The default
+    stop-shingle bound (df > 10k) is a deliberate no-op at oracle scale —
+    the BINDING variant is oracle-checked by dedup_ngram_jaccard_stopfiltered."""
     return dd.ngram_jaccard_pairs(_corpus(spark, sf_dir), "doc_id", "text", shingle_n=5, threshold=0.5)
 
 
-def _simhash_sql() -> str:
+@_register("dedup_ngram_jaccard_stopfiltered", _jaccard_sql(threshold=0.3, max_df=3))
+def dedup_ngram_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard with a BINDING stop-shingle bound (document frequency > 3
+    → boilerplate, dropped from the shingle sets): the self-join can no
+    longer explode on one hot shingle, and Jaccard stays an exact int
+    ratio over the filtered space — the oracle applies the identical
+    frequency filter, proving the bound is defined semantics."""
+    return dd.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", shingle_n=5, threshold=0.3, max_doc_freq=3
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
     sums = ",\n             ".join(
         f"sum(2 * (((strpos('0123456789abcdef', substr(md5(tok), {j // 4 + 1}, 1)) - 1)"
         f" >> {3 - j % 4}) & 1) - 1) AS s{j}"
-        for j in range(16)
+        for j in range(bits)
     )
-    assemble = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    assemble = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
     return f"""
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
     sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
@@ -1191,6 +1242,14 @@ def _simhash_sql() -> str:
 def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (md5-nibble bit sampling)."""
     return dd.simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register("dedup_simhash48", _simhash_sql(bits=48))
+def dedup_simhash48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width 48-bit SimHash — same md5-nibble construction,
+    oracle-exact at any width because the SQL twin is generated for the
+    same bit count (widening is a parameter, not a port)."""
+    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=48)
 
 
 # ---------------------------------------------------------------------------

@@ -42,11 +42,20 @@ def ship_package(spark: SparkSession) -> None:
         h.update(open(full, "rb").read())
     zip_path = os.path.join(tempfile.gettempdir(), f"beholder_spark_{h.hexdigest()[:12]}.zip")
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as zf:
-            for full in sources:
-                zf.write(full, os.path.relpath(full, root))
-        os.replace(tmp, zip_path)  # atomic vs concurrent sessions
+        # per-process unique temp name: two sessions racing on identical
+        # sources each build a private zip, then atomically replace — a
+        # shared fixed .tmp name could interleave writes into a corrupt
+        # zip that os.replace would then publish to executors
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(zip_path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w") as zf:
+                for full in sources:
+                    zf.write(full, os.path.relpath(full, root))
+            os.replace(tmp, zip_path)  # atomic vs concurrent sessions
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
     spark.sparkContext.addPyFile(zip_path)
     spark._beholder_pkg_added = True
 

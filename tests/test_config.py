@@ -223,3 +223,40 @@ def test_config_set_date_requires_column(spark):
     df = spark.createDataFrame([("a",)], ["s"])
     with pytest.raises(C.ConfigError):
         C.compile_config("set $f date;")(df)
+
+
+def test_config_drop_if_rejects_unsupported_operator(spark):
+    with pytest.raises(C.ConfigError, match="only == and !="):
+        C.compile_config("drop if $status >= '500';")(
+            spark.createDataFrame([("200",)], ["status"])
+        )
+
+
+def test_config_two_cases_capture_same_group(spark):
+    """A later case capturing the same named group must not NULL out the
+    earlier case's captured values (preserve-existing semantics)."""
+    df = spark.createDataFrame(
+        [("login user=alice",), ("logout user=bob",), ("noise",)], ["payload"]
+    )
+    cfg = """
+    switch '{$payload}' {
+      case ~^login user=(?<user>\\w+)~ { }
+      case ~^logout user=(?<user>\\w+)~ { }
+    }
+    """
+    out = C.compile_config(cfg)(df)
+    got = {r.payload.split(" ")[0]: r.user for r in out.collect()}
+    assert got["login"] == "alice"  # not clobbered by case_2's otherwise
+    assert got["logout"] == "bob"
+    assert got["noise"] is None
+
+
+def test_config_parse_syslog_keeps_raw_payload_on_failure(spark, messages):
+    """P7 via the config front end: the source column IS payload, so an
+    unparseable row must keep the original line in payload (pass through
+    unchanged), not NULL it into unrecoverability."""
+    out = C.compile_config("parse syslog keep-unparsed;")(messages)
+    rows = {r.lang: r for r in out.collect()}
+    assert rows["fr"].parse_ok is False
+    assert rows["fr"].payload == "<99999>bad pri"  # raw line survives
+    assert rows["de"].payload == "query ran"  # parsed rows get the body

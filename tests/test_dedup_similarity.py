@@ -101,3 +101,67 @@ def test_sample_hash_deterministic_nested_and_split(spark):
     a = {r.k for r in train.collect()}
     b = {r.k for r in hold.collect()}
     assert a.isdisjoint(b) and len(a) + len(b) == 5000  # no row lost or doubled
+
+
+def test_split_hash_null_keys_land_in_exactly_one_side(spark):
+    """NULL keys hash under the sentinel — a NULL-keyed row must land in
+    exactly ONE side of a split (never both, never neither)."""
+    from beholder_spark.operators.sample import sample_hash, split_hash
+
+    df = spark.createDataFrame([(None,), ("a",), ("b",)], ["k"])
+    train, hold = split_hash(df, "k", 0.5)
+    n_train, n_hold = train.count(), hold.count()
+    assert n_train + n_hold == 3  # none lost
+    # and at rate=1.0 every row (incl. NULL key) is kept
+    assert sample_hash(df, "k", 1.0).count() == 3
+
+
+def test_minhash_bucket_cap_bounds_boilerplate_pairs(spark):
+    """Skewed-boilerplate corpus: many docs with IDENTICAL text collapse
+    into one LSH bucket per band. Uncapped that is O(n²) pairs on one
+    key; with max_bucket_size=cap the pair count is bounded by
+    bands · cap·(cap−1)/2 and deterministic (lowest ids kept)."""
+    n = 40
+    boiler = [(i, "same boilerplate navigation header text repeated forever and ever") for i in range(n)]
+    df = spark.createDataFrame(boiler, ["doc_id", "text"])
+
+    uncapped = dedup.minhash_candidate_pairs(df, "doc_id", "text", max_bucket_size=None)
+    assert uncapped.count() == n * (n - 1) // 2  # the explosion the cap prevents
+
+    cap = 5
+    capped = dedup.minhash_candidate_pairs(df, "doc_id", "text", max_bucket_size=cap)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert len(got) <= cap * (cap - 1) // 2  # identical docs → same buckets in every band
+    # deterministic: the cap keeps the lowest doc_ids
+    assert got == {(a, b) for a in range(cap) for b in range(cap) if a < b}
+
+
+def test_jaccard_stop_shingle_filter_bounds_hot_join(spark):
+    """A shingle shared by every doc is boilerplate: with max_doc_freq it
+    is excluded from the shingle sets, so unrelated docs that share ONLY
+    boilerplate no longer become candidate pairs."""
+    boiler = "copyright two thousand twenty six all rights reserved"
+    rows = [
+        (1, f"unique alpha words one {boiler}"),
+        (2, f"unique beta words two {boiler}"),
+        (3, f"unique gamma words three {boiler}"),
+        (4, f"unique delta words four {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # shingle_n=5 spans the boilerplate tail shared by all 4 docs
+    unfiltered = dedup.ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=5, threshold=0.1, max_doc_freq=None)
+    assert unfiltered.count() > 0  # boilerplate-only similarity
+    filtered = dedup.ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=5, threshold=0.1, max_doc_freq=3)
+    assert filtered.count() == 0  # stop-shingles carry no signal
+
+
+def test_simhash_width_parameter(spark):
+    """simhash(bits=48) produces values beyond the 16-bit range and the
+    same low-16-bit structure as simhash16 is NOT required (independent
+    bits) — but determinism across calls is."""
+    df = _docs(spark)
+    a = {r.doc_id: r.simhash for r in dedup.simhash(df, "doc_id", "text", bits=48).collect()}
+    b = {r.doc_id: r.simhash for r in dedup.simhash(df, "doc_id", "text", bits=48).collect()}
+    assert a == b  # deterministic
+    assert any(v > 0xFFFF for v in a.values())  # actually uses the width
+    assert a[1] == a[4]  # exact dup docs agree at any width
