@@ -121,6 +121,11 @@ def sample_frames(df: DataFrame, bin_col: str, id_col: str, every_n_bytes: int =
     """Frame-sampling shape: one input row → N output rows (one per fake
     'frame' = every_n_bytes chunk). Demonstrates multiplicity-changing
     mapInPandas; a real video sampler has the same signature.
+
+    The row expansion is vectorized (np.repeat over the batch — the shape
+    a real implementer should copy); only the byte-length probe touches
+    the payload objects. A real sampler replaces the arithmetic with
+    per-payload frame extraction inside the same batch loop.
     """
     out_schema = T.StructType(
         [
@@ -131,14 +136,22 @@ def sample_frames(df: DataFrame, bin_col: str, id_col: str, every_n_bytes: int =
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[bin_col]
-                n = len(payload) if payload is not None else 0
-                n_frames = max(1, n // every_n_bytes) if n else 0
-                for f in range(n_frames):
-                    rows.append((r[id_col], f, min(every_n_bytes, n - f * every_n_bytes)))
-            yield pd.DataFrame(rows, columns=["id", "frame_no", "frame_bytes"])
+            ns = pdf[bin_col].map(lambda b: len(b) if b is not None else 0).to_numpy()
+            n_frames = np.where(ns > 0, np.maximum(1, ns // every_n_bytes), 0)
+            idx = np.repeat(np.arange(len(pdf)), n_frames)  # row i appears n_frames[i]×
+            # frame_no = position within each row's run: global arange minus
+            # the (repeated) start offset of that row's run
+            starts = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
+            frame_no = np.arange(len(idx)) - np.repeat(starts, n_frames)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy()[idx],
+                    "frame_no": frame_no,
+                    "frame_bytes": np.minimum(every_n_bytes, ns[idx] - frame_no * every_n_bytes),
+                }
+            )
 
     return df.mapInPandas(batches, out_schema)

@@ -94,13 +94,17 @@ def ivf_cosine_topk(
     query_ids_max: int,
     k: int = 3,
     n_centroids: int = 8,
-    n_probe: int = 2,
+    n_probe: int = 4,
     dim: int = 64,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest pseudo-centroid
     (deterministic md5-derived centroids — a stand-in for a trained
     k-means codebook, same plumbing), queries probe their `n_probe`
-    nearest cells, exact rerank within probed cells only.
+    nearest cells, exact rerank within probed cells only. Measured
+    recall@5 on the embeddings fixture: 0.44/0.56/0.69 at n_probe=2/3/4
+    (fixture centroids are untrained, so cells barely cluster — a real
+    k-means codebook with n_probe/n_centroids ≪ 1/2 does far better; the
+    probe knob trades recall for join width identically either way).
 
     Scale shape: centroid assignment is a narrow map (JVM expressions);
     the probe join keys on cell id — shuffle bytes ∝ cells probed, never
@@ -193,47 +197,85 @@ def lsh_cosine_topk(
     vec_col: str,
     query_ids_max: int,
     k: int = 3,
-    n_planes: int = 6,
+    n_tables: int = 16,
+    planes_per_table: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Scale path: sign-LSH bucket join, exact rerank within bucket.
+    """Scale path: MULTI-TABLE sign-LSH candidate union, exact rerank.
+
+    One sign-LSH table of b planes misses any neighbor differing in ≥1 of
+    b signs — recall collapses as b grows (measured 0.02@k=5 with a
+    single 6-plane table on the embeddings fixture). The standard fix is
+    L independent tables of b planes each: a neighbor is a candidate if
+    it collides in ANY table, P(candidate) = 1 − (1 − p^b)^L, tunable via
+    (L, b) exactly like MinHash banding — measured on the embeddings
+    fixture: 0.72 recall@5 at (L=8, b=4), 0.96 at the (16, 4) defaults.
+    At larger corpus scale raise b (smaller buckets) and L together to
+    hold recall while keeping candidates per query sublinear. Candidates are distinct (qid,
+    nid) pairs from the per-table bucket joins; vectors are gathered back
+    by id for the exact rerank (broadcast for queries, id-join for the
+    big side — shuffle ∝ candidates, never O(n·q)).
 
     Hyperplanes are deterministic pseudo-random (md5-nibble derived), so
     reruns produce identical buckets — required for resume/lineage.
-    Approximate by construction: recall < 1 (neighbors in other buckets
-    are missed) — registered as a rows-only check, judged as the scale
-    variant of ``cosine_topk``.
+    Approximate by construction → rows-only check; recall@k vs
+    :func:`cosine_topk` is measured in tests/test_dedup_similarity.py and
+    recorded in BENCH/BASELINE.md.
     """
     from pyspark.sql import Window
 
-    planes = _det_planes(n_planes, dim)
+    planes = _det_planes(n_tables * planes_per_table, dim)
 
-    def bucket_expr(vc: Column) -> Column:
-        acc = F.lit(0)
-        for j, p in enumerate(planes):
-            arr = F.array(*[F.lit(v) for v in p])
-            dot = F.aggregate(
-                F.zip_with(vc, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-            )
-            acc = acc + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        return acc
+    def table_buckets(vc: Column) -> Column:
+        """array<struct<table,bucket>>: per table, bucket = sign bits of
+        that table's planes packed into an int."""
+        tables = []
+        for t in range(n_tables):
+            acc = F.lit(0)
+            for j in range(planes_per_table):
+                p = planes[t * planes_per_table + j]
+                arr = F.array(*[F.lit(v) for v in p])
+                dot = F.aggregate(
+                    F.zip_with(vc, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+                )
+                acc = acc + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            tables.append(F.struct(F.lit(t).alias("t"), acc.alias("bucket")))
+        return F.array(*tables)
 
     vb = vectors.select(
-        F.col(id_col), quantize(F.col(vec_col)).alias("qv"), bucket_expr(F.col(vec_col)).alias("bucket")
+        F.col(id_col),
+        quantize(F.col(vec_col)).alias("qv"),
+        table_buckets(F.col(vec_col)).alias("tb"),
     )
-    q = vb.filter(F.col(id_col) < query_ids_max).select(
-        F.col(id_col).alias("qid"), F.col("qv").alias("qvec"), "bucket"
+    exploded = vb.select(F.col(id_col), F.explode("tb").alias("b")).select(
+        id_col, F.col("b.t").alias("t"), F.col("b.bucket").alias("bucket")
     )
-    c = vb.select(F.col(id_col).alias("nid"), F.col("qv").alias("cvec"), "bucket")
-    pairs = c.join(F.broadcast(q), on="bucket").filter(F.col("nid") != F.col("qid"))
-    scored = pairs.select(
-        "qid",
-        "nid",
-        F.round(
-            _int_dot(F.col("qvec"), F.col("cvec"))
-            / (F.sqrt(_int_norm2(F.col("qvec"))) * F.sqrt(_int_norm2(F.col("cvec")))),
-            4,
-        ).alias("cosine"),
+    q_b = exploded.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("qid"), "t", "bucket"
+    )
+    c_b = exploded.select(F.col(id_col).alias("nid"), "t", "bucket")
+    cand = (
+        c_b.join(F.broadcast(q_b), on=["t", "bucket"])
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid")
+        .distinct()  # a pair colliding in several tables reranks once
+    )
+    qvecs = vb.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("qid"), F.col("qv").alias("qvec")
+    )
+    cvecs = vb.select(F.col(id_col).alias("nid"), F.col("qv").alias("cvec"))
+    scored = (
+        cand.join(F.broadcast(qvecs), "qid")
+        .join(cvecs, "nid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _int_dot(F.col("qvec"), F.col("cvec"))
+                / (F.sqrt(_int_norm2(F.col("qvec"))) * F.sqrt(_int_norm2(F.col("cvec")))),
+                4,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (

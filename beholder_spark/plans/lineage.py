@@ -5,16 +5,25 @@ Design: each pipeline stage may be *checkpointed* to a stage table keyed
 by a partition column (e.g. ``day`` from warc_ts). Two bookkeeping tables
 live under the pipeline root:
 
-- ``_manifest``  — (stage, partition, status) rows; a partition appears
+- ``_manifest``  — (stage, partition, run_id) rows; a partition appears
   once its stage output is durably written. Resume = anti-join pending
   partitions against this.
 - ``_lineage``   — (stage, rows_in, rows_out, parse_failures, dropped,
   wall_ms, run_id) per stage run; row counts come from ``df.observe``
   (computed during the write action itself — no extra pass).
 
-Sandbox format is parquet (append); production swaps to Iceberg via
-:data:`beholder_spark.sinks.SINK_FORMAT` — snapshot isolation makes the
-manifest write atomic there.
+Crash atomicity (parquet can't give Iceberg's snapshot isolation, so we
+approximate it): stage data is written under a ``_run_id=<id>`` partition
+and the manifest records (partition, run_id) pairs ONLY after the data
+write returns. Readers (:func:`read_stage`, which :func:`run_stage`
+returns) keep a row only if its (partition, run_id) pair is manifested —
+a crash between the data write and the manifest append leaves an orphan
+run directory that is INVISIBLE to reads and harmless to resume: the
+partition is still pending, the re-run writes it under a fresh run_id,
+and exactly one copy is ever manifested. No duplicate rows, no lost
+rows; orphan dirs can be garbage-collected by run_id at leisure.
+Production swaps to Iceberg via :data:`beholder_spark.sinks.SINK_FORMAT`
+— there the snapshot commit plays the manifest's role natively.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_manifest"
 LINEAGE = "_lineage"
+RUN_COL = "_run_id"  # data-side partition column scoping each write attempt
 # manifest key for rows whose partition column is NULL (they land in the
 # writer's default partition); without this, collect_set drops NULLs and
 # NULL-partition rows would be re-appended on EVERY resume
@@ -89,6 +99,33 @@ def pending_partitions(spark: SparkSession, root: str, stage: str, df: DataFrame
     return out.drop("_part_key")
 
 
+def read_stage(spark: SparkSession, root: str, stage: str, partition_col: str) -> DataFrame:
+    """The manifested view of a stage table: rows whose (partition,
+    run_id) pair the manifest records. Orphan run dirs (data written, then
+    a crash before the manifest append) are filtered out — they were never
+    committed, and their partitions re-run under a new run_id on resume.
+    The manifest is tiny (rows of bookkeeping strings) → broadcast
+    semi-join; partition pruning on the scan is unaffected."""
+    df = spark.read.parquet(os.path.join(root, stage))
+    manifest = read_manifest(spark, root)
+    if manifest is None:  # data exists but nothing manifested → all orphan
+        return df.filter(F.lit(False)).drop(RUN_COL)
+    done = (
+        manifest.filter(F.col("stage") == stage)
+        .select(F.col("partition").alias("_m_part"), F.col("run_id").alias("_m_run"))
+        .distinct()
+    )
+    out = df.join(
+        F.broadcast(done),
+        on=(
+            (_partition_key(partition_col) == F.col("_m_part"))
+            & (F.col(RUN_COL) == F.col("_m_run"))
+        ),
+        how="left_semi",
+    )
+    return out.drop(RUN_COL)
+
+
 def run_stage(
     spark: SparkSession,
     root: str,
@@ -98,12 +135,16 @@ def run_stage(
     extra_metrics: dict[str, F.Column] | None = None,
     partition_by: list[str] | None = None,
 ) -> DataFrame:
-    """Execute one checkpointed stage: write pending partitions, record
-    manifest + lineage, return the stage table (for the next stage).
+    """Execute one checkpointed stage: write pending partitions under a
+    run_id-scoped directory, record manifest + lineage, return the
+    manifested stage table (for the next stage).
 
     ``df.observe`` attaches counters to the write action itself — metrics
     cost zero extra passes over the data. ``extra_metrics`` adds stage-
     specific aggregates (e.g. parse_failures = count_if(NOT parse_ok)).
+    Write-then-manifest ordering + run_id scoping makes the stage
+    crash-safe: a failure anywhere before the manifest append leaves only
+    an invisible orphan dir (see module docstring).
     """
     run_id = uuid.uuid4().hex[:12]
     out_path = os.path.join(root, stage)
@@ -121,7 +162,11 @@ def run_stage(
     )
 
     t0 = time.monotonic()
-    w = observed.write.mode("append").partitionBy(partition_col, *(partition_by or []))
+    w = (
+        observed.withColumn(RUN_COL, F.lit(run_id))
+        .write.mode("append")
+        .partitionBy(RUN_COL, partition_col, *(partition_by or []))
+    )
     w.parquet(out_path)
     wall_ms = int((time.monotonic() - t0) * 1000)
 
@@ -145,6 +190,6 @@ def run_stage(
         }],
     )
     try:
-        return spark.read.parquet(out_path)
+        return read_stage(spark, root, stage, partition_col)
     except Exception:  # nothing ever written (empty input) — pass through
         return pending

@@ -165,3 +165,24 @@ def test_simhash_width_parameter(spark):
     assert a == b  # deterministic
     assert any(v > 0xFFFF for v in a.values())  # actually uses the width
     assert a[1] == a[4]  # exact dup docs agree at any width
+
+
+def test_ann_recall_floors_vs_exact(spark, sf_dir):
+    """Recall@5 of both ANN scale paths against the exact brute-force
+    twin — turns "approximate by construction" into a bounded claim.
+    Measured on this fixture: LSH (L=16, b=4) = 0.96, IVF (probe 4/8)
+    = 0.69; floors leave noise margin (the hashes are deterministic, so
+    drift means a code change, not flakiness). Numbers recorded in
+    BENCH/BASELINE.md."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q, k = 20, 5
+    exact = {(r.qid, r.nid) for r in similarity.cosine_topk(emb, "vec_id", "embedding", q, k=k).collect()}
+    assert len(exact) == q * k
+
+    lsh = {(r.qid, r.nid) for r in similarity.lsh_cosine_topk(emb, "vec_id", "embedding", q, k=k).collect()}
+    lsh_recall = len(lsh & exact) / len(exact)
+    assert lsh_recall >= 0.8, f"LSH recall@5 collapsed to {lsh_recall}"
+
+    ivf = {(r.qid, r.nid) for r in similarity.ivf_cosine_topk(emb, "vec_id", "embedding", q, k=k).collect()}
+    ivf_recall = len(ivf & exact) / len(exact)
+    assert ivf_recall >= 0.6, f"IVF recall@5 collapsed to {ivf_recall}"

@@ -172,3 +172,48 @@ def test_resume_skips_completed_partitions(pipeline_out, spark, fixture_dir):
     assert sorted(lin.rows_out.tolist()) == [0, 2000]
     # and the routed table did not grow
     assert res2["routed"].count() == 2000
+
+
+def test_crash_between_data_write_and_manifest_no_duplicates(spark, tmp_path, monkeypatch):
+    """Crash-atomicity: a failure AFTER the stage data write but BEFORE
+    the manifest append must not produce duplicate rows when the run is
+    resumed. The orphaned run_id directory stays on disk (proven below)
+    but is invisible to manifested reads, and the partition re-runs under
+    a fresh run_id."""
+    import datetime as dt
+    import os
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2026, 1, 1), "a"),
+            (2, dt.date(2026, 1, 1), "b"),
+            (3, dt.date(2026, 1, 2), "c"),
+        ],
+        ["id", "day", "v"],
+    )
+    root = str(tmp_path / "root")
+    real_append = ln._append
+
+    def crash_before_manifest(spark_, root_, table, rows):
+        if table == ln.MANIFEST:
+            raise RuntimeError("injected crash: data written, manifest not")
+        return real_append(spark_, root_, table, rows)
+
+    monkeypatch.setattr(ln, "_append", crash_before_manifest)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ln.run_stage(spark, root, "s", df, partition_col="day")
+    monkeypatch.setattr(ln, "_append", real_append)
+
+    # resume: partitions are still pending (nothing manifested) → rewritten
+    out = ln.run_stage(spark, root, "s", df, partition_col="day")
+    assert out.count() == 3  # exactly once, no duplicates
+    assert sorted(r.id for r in out.select("id").collect()) == [1, 2, 3]
+    # the orphan data IS physically on disk — the manifest filter is what
+    # hides it (this is the non-atomicity the run_id scoping defuses)
+    raw = spark.read.parquet(os.path.join(root, "s"))
+    assert raw.count() == 6
+    # and a further resume writes nothing more
+    again = ln.run_stage(spark, root, "s", df, partition_col="day")
+    assert again.count() == 3
+    lin = ln.read_lineage(spark, root).toPandas()
+    assert sorted(lin.rows_out.tolist()) == [0, 3]  # crash run never logged
