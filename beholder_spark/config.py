@@ -10,17 +10,20 @@ one config drives a batch or streaming DataFrame DAG.
 
 Supported command subset (the router core — SURVEY.md §2):
 
-    from parquet '<path>' | from timer <n> | from infinity <n>
+    from parquet '<path>' | from text '<path>' | from timer <n> | from infinity <n>
     parse syslog [keep-unparsed]          # on $payload
     parse json $field key:type ...        # declared schema
     parse regexp ~pattern~ $name:idx ...  # named groups
+    parse each-field-as-message [$a ...]  # explode fields → (key, value) rows
     set $f 'template with {$a} text'      # interpolation
     set $f replace ~re~ 'tpl' [in $src]
     set $f basename $src | severity-name $src | json $a $b ... | date $ts
     set $f host $url                      # per-row host from url column
+    set $f env NAME ['default']           # plan-time environment literal
     keep $a $b ...
     drop if $col == 'value'               # simplified predicate form
     switch $field { case ~re~ { ... } default { ... } }
+    buffer <n>                            # sink batching → maxRecordsPerFile
     to file '<path template with {$field}>'
 
 Semantics pinned by our SPEC where the reference is unverifiable:
@@ -212,8 +215,8 @@ class CompiledPipeline:
     transform: "callable"
     sinks: list[dict]  # [{"path_template": str, "partition_fields": [...]}]
 
-    def __call__(self, df: DataFrame) -> DataFrame:
-        return self.transform(df)
+    def __call__(self, df: DataFrame | None = None, spark: SparkSession | None = None) -> DataFrame:
+        return self.transform(df, spark)
 
 
 def _compile_set(df: DataFrame, cmd: Command) -> DataFrame:
@@ -250,6 +253,13 @@ def _compile_set(df: DataFrame, cmd: Command) -> DataFrame:
         return fo.set_date(df, fname, _field(rest[1]))
     if word == "host":
         return fo.set_host_from_url(df, fname, _field(rest[1]))
+    if word == "env":
+        # F5: resolved driver-side at PLAN time → a literal column. The
+        # var name is a word or quoted string; optional quoted default.
+        if len(rest) < 2:
+            raise ConfigError("set $f env requires a variable name")
+        default = rest[2].value if len(rest) >= 3 else ""
+        return fo.set_env(df, fname, rest[1].value, default)
     raise ConfigError(f"unsupported set function: {word!r}")
 
 
@@ -260,11 +270,14 @@ def _compile_from(spark: SparkSession, cmd: Command) -> DataFrame:
     kind = cmd.args[0].value
     if kind == "parquet":
         return sources.from_parquet(spark, cmd.args[1].value)
+    if kind == "text":
+        # S2 newline-framed lines → one message per line with $payload
+        return sources.from_text_lines(spark, cmd.args[1].value)
     if kind == "timer":
         return sources.from_timer(spark, int(cmd.args[1].value))
     if kind == "infinity":
         return sources.from_infinity(spark, int(cmd.args[1].value))
-    raise ConfigError(f"unsupported source in join block: {kind!r}")
+    raise ConfigError(f"unsupported config source: {kind!r}")
 
 
 def _compile_parse(df: DataFrame, cmd: Command) -> DataFrame:
@@ -287,6 +300,14 @@ def _compile_parse(df: DataFrame, cmd: Command) -> DataFrame:
             groups[name.lstrip("$")] = int(idx or len(groups) + 1)
         src = "payload" if "payload" in df.columns else df.columns[0]
         return po.parse_regexp(df, src, pat, groups)
+    if kind == "each-field-as-message":
+        # P5: one message per field. Listed $fields explode; unlisted
+        # columns ride along as identity columns. Bare form explodes
+        # every column (pure key/value messages).
+        listed = [_field(a) for a in cmd.args[1:]]
+        fields_ = listed or list(df.columns)
+        ids = [c for c in df.columns if c not in fields_] if listed else []
+        return po.each_field_as_message(df, fields_, ids)
     raise ConfigError(f"unsupported parse format: {kind!r}")
 
 
@@ -306,7 +327,7 @@ def _compile_drop(df: DataFrame, cmd: Command) -> DataFrame:
     return fo.drop_when(df, F.coalesce(cond, F.lit(False)))
 
 
-def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame:
+def _compile_switch(df: DataFrame, cmd: Command, ctx: dict) -> DataFrame:
     """switch '<tpl>' { case ~re~ {...} default {...} } — the route column
     is a first-match-wins when() chain over the interpolated subject; each
     case's sub-block then applies ONLY to rows of that route (branch
@@ -372,7 +393,7 @@ def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame
             elif sub.name == "to":
                 # capture this route's slice at the current point — a
                 # later `drop;` in the same case block does not unwrite it
-                _collect_sink(sub, sinks, df.filter(F.col("route") == name), route=name)
+                _collect_sink(sub, ctx, df.filter(F.col("route") == name), route=name)
             elif sub.name == "set" and len(sub.args) == 2 and sub.args[1].kind == "quoted":
                 fname = _field(sub.args[0])
                 expr = template_column(sub.args[1].value)
@@ -386,20 +407,22 @@ def _compile_switch(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame
 
 
 def _collect_sink(
-    cmd: Command, sinks: list[dict], df: DataFrame, route: str | None = None
+    cmd: Command, ctx: dict, df: DataFrame, route: str | None = None
 ) -> None:
     """Register a `to file` sink, CAPTURING the lazy DataFrame as it is at
     this point in the flow (for a case-block sink: already sliced to the
-    route) — later commands cannot retroactively change the sink."""
+    route) — later commands cannot retroactively change the sink. The
+    flow's current `buffer` setting (K5) is captured with it."""
     if cmd.args[0].value != "file":
         raise ConfigError("only `to file '<tpl>'` sinks are supported")
     tpl = cmd.args[1].value
-    sinks.append(
+    ctx["sinks"].append(
         {
             "path_template": tpl,
             "partition_fields": template_fields(tpl),
             "route": route,
             "df": df,
+            "max_records_per_file": ctx.get("buffer"),
         }
     )
 
@@ -413,27 +436,43 @@ def compile_config(text: str) -> CompiledPipeline:
     semantics: commands after a ``to`` do not retroactively change what
     that sink writes. ``sinks`` is rebuilt on every invocation, so one
     compiled config can drive any number of inputs.
+
+    Invocation forms: ``compiled(df)`` uses the caller's scan as the
+    source (top-level ``from`` is then a placeholder, Beholder's listener
+    address); ``compiled(None, spark=spark)`` makes the config
+    SELF-SOURCING — the first top-level ``from parquet|text|timer|
+    infinity`` builds the scan itself.
     """
     cmds = parse_config(text)
     sinks: list[dict] = []
 
-    def transform(df: DataFrame) -> DataFrame:
+    def transform(df: DataFrame | None = None, spark: SparkSession | None = None) -> DataFrame:
         sinks.clear()  # fresh capture per invocation (reusable compile)
+        ctx = {"sinks": sinks, "buffer": None, "spark": spark}
         out = df
         for cmd in cmds:
-            out = _apply(out, cmd, sinks)
+            out = _apply(out, cmd, ctx)
+        if out is None:
+            raise ConfigError("config has no source: pass a DataFrame or start with `from …`")
         return out
 
     return CompiledPipeline(transform=transform, sinks=sinks)
 
 
-def _apply(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame:
+def _apply(df: DataFrame | None, cmd: Command, ctx: dict) -> DataFrame:
+    if cmd.name == "from":
+        if df is None:
+            # self-sourcing entry: the config's own `from` builds the scan
+            if ctx.get("spark") is None:
+                raise ConfigError("self-sourcing config needs spark= to compile `from …`")
+            return _compile_from(ctx["spark"], cmd)
+        return df  # source selection is the caller's scan (S1/S2 ≡ input table)
+    if df is None:
+        raise ConfigError(f"`{cmd.name}` before any source: start the config with `from …`")
     if cmd.name == "flow":
         for sub in cmd.block or []:
-            df = _apply(df, sub, sinks)
+            df = _apply(df, sub, ctx)
         return df
-    if cmd.name == "from":
-        return df  # source selection is the caller's scan (S1/S2 ≡ input table)
     if cmd.name == "join":
         # C3 `join { from … ; … }`: a subflow's output merges into this
         # flow — a stream UNION in Beholder, unionByName here. The
@@ -445,7 +484,7 @@ def _apply(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame:
             else:
                 if sub_df is None:
                     raise ConfigError("join block must start with `from …`")
-                sub_df = _apply(sub_df, sub, sinks)
+                sub_df = _apply(sub_df, sub, ctx)
         if sub_df is None:
             raise ConfigError("join block must contain `from …`")
         return df.unionByName(sub_df, allowMissingColumns=True)
@@ -458,22 +497,34 @@ def _apply(df: DataFrame, cmd: Command, sinks: list[dict]) -> DataFrame:
     if cmd.name == "drop":
         return _compile_drop(df, cmd)
     if cmd.name == "switch":
-        return _compile_switch(df, cmd, sinks)
+        return _compile_switch(df, cmd, ctx)
+    if cmd.name == "buffer":
+        # K5 sender buffer: Spark's analogue of sink batching is file
+        # sizing — the CURRENT buffer value is captured by each later
+        # `to file` as maxRecordsPerFile (a visible effect, not a no-op)
+        if not cmd.args:
+            raise ConfigError("buffer requires a row count")
+        ctx["buffer"] = int(cmd.args[0].value)
+        return df
     if cmd.name == "to":
-        _collect_sink(cmd, sinks, df)
+        _collect_sink(cmd, ctx, df)
         return df
     if cmd.name == "tee":
         # side block shares the parent DAG; its sinks are collected, its
         # transformations do NOT affect the main flow (C2)
         side = df
         for sub in cmd.block or []:
-            side = _apply(side, sub, sinks)
+            side = _apply(side, sub, ctx)
         return df
     raise ConfigError(f"unsupported command: {cmd.name!r}")
 
 
 def run_config_pipeline(
-    spark: SparkSession, df: DataFrame, config_text: str, out_root: str
+    spark: SparkSession,
+    df: DataFrame | None,
+    config_text: str,
+    out_root: str,
+    dry_run: bool = False,
 ) -> dict[str, DataFrame]:
     """Execute a config over an input DataFrame: one write per sink, each
     from the DataFrame captured at its `to file` command; field-templated
@@ -484,23 +535,46 @@ def run_config_pipeline(
     from cached rows, not K scans of the source — the filtered-branch
     strategy of SURVEY.md §4.2. When all sinks share one schema, prefer
     a single `partitionBy(route)` write (sinks.write_fanout_single_pass).
+
+    ``df=None`` lets a self-sourcing config (top-level ``from parquet
+    '<path>'`` / ``from text '<path>'``) name its own scan — the whole
+    job then comes from config text alone, Beholder-style.
+
+    ``dry_run=True`` is the ``beholder --test`` analogue: the config is
+    tokenized, compiled, and every sink's plan is ANALYZED (schema
+    resolution — unknown columns/functions fail here), but nothing is
+    executed or written; returns the lazy per-sink DataFrames.
     """
     import os
 
-    df = df.persist()
+    compiled = compile_config(config_text)
+    if df is None:
+        final = compiled(None, spark=spark)  # self-sourcing config
+        src = None
+    else:
+        df = df.persist() if not dry_run else df
+        final = compiled(df)
+        src = df
     try:
-        compiled = compile_config(config_text)
-        compiled(df)  # populates compiled.sinks with captured frames
+        if dry_run:
+            for sink in compiled.sinks:
+                sink["df"].schema  # force analysis: resolution errors surface
+            final.schema
+            return {f"sink_{i}": s["df"] for i, s in enumerate(compiled.sinks)}
         results: dict[str, DataFrame] = {}
         for i, sink in enumerate(compiled.sinks):
             slice_df = sink["df"]
             part_cols = [f for f in sink["partition_fields"] if f in slice_df.columns]
             path = os.path.join(out_root, f"sink_{i}")
             w = slice_df.write.mode("overwrite")
+            if sink.get("max_records_per_file"):
+                # `buffer N` (K5): bound rows per output file
+                w = w.option("maxRecordsPerFile", sink["max_records_per_file"])
             if part_cols:
                 w = w.partitionBy(*part_cols)
             w.parquet(path)
             results[f"sink_{i}"] = spark.read.parquet(path)
         return results
     finally:
-        df.unpersist()
+        if src is not None and not dry_run:
+            src.unpersist()

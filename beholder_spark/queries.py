@@ -243,6 +243,53 @@ def config_switch_routed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "config_textlines_severity_names",
+    """
+    SELECT CASE pri % 8 WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert' WHEN 2 THEN 'crit'
+                        WHEN 3 THEN 'error' WHEN 4 THEN 'warning' WHEN 5 THEN 'notice'
+                        WHEN 6 THEN 'info' ELSE 'debug' END AS sev_name,
+           count(*) AS n
+    FROM (
+      SELECT e.event_id % 100 AS pri FROM events e
+    )
+    WHERE pri <= 191
+    GROUP BY 1
+    """,
+)
+def config_textlines_severity_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 config front end, SELF-SOURCING: the config names its own
+    `from text '<path>'` scan, parses syslog, and maps severity to its
+    RFC keyword — three config commands (from text / parse syslog /
+    set severity-name) driving the whole job from text alone."""
+    import hashlib
+    import os
+
+    from beholder_spark.config import compile_config
+
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    path = f"/tmp/beholder_textlines_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        lines = _t(spark, sf_dir, "events").select(
+            F.concat(
+                F.lit("<"),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit(">1 2026-01-01T00:00:00Z h prog - - - hello"),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(path)
+
+    cfg = f"""
+    from text '{path}';
+    parse syslog;
+    set $sev_name severity-name $severity;
+    keep $sev_name;
+    """
+    out = compile_config(cfg)(None, spark=spark)
+    return out.groupBy("sev_name").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
     "grouping_sets_lang_source",
     """
     SELECT lang, source, count(*) AS n

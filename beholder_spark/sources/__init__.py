@@ -58,6 +58,57 @@ def from_infinity(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
+def from_socket_stream(
+    spark: SparkSession, host: str, port: int, source_tag: str | None = None
+) -> DataFrame:
+    """S2 ``from tcp ... as newline-terminated`` as a LIVE listener:
+    Structured Streaming ``socket`` source — one newline-framed line per
+    row, exposed as ``payload`` exactly like the batch text scan, so the
+    same stage compiler runs unchanged on the stream (daemon parity:
+    Beholder listens on a TCP port; this connects to one). Production
+    swaps ``format("kafka")`` for durable ingest — the socket source has
+    no replay, which is why it is the parity demo, not the prod path.
+    """
+    df = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .withColumnRenamed("value", "payload")
+    )
+    if source_tag is not None:
+        df = df.withColumn("source", F.lit(source_tag))
+    return df
+
+
+def from_rate_stream(
+    spark: SparkSession,
+    rows_per_batch: int,
+    source_tag: str = "timer",
+    advance_ms_per_batch: int = 1000,
+) -> DataFrame:
+    """S3/S5 ``from timer`` / ``from infinity`` as a LIVE stream:
+    ``rate-micro-batch`` emits ``rows_per_batch`` rows per trigger with
+    DETERMINISTIC timestamps (start epoch 0 + advance_ms per batch) and a
+    monotone ``value`` — unlike plain ``rate``, reruns produce identical
+    data, which keeps streaming tests oracle-comparable. Columns match
+    :func:`from_timer`: (tick, payload, source).
+    """
+    df = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", advance_ms_per_batch)
+        .load()
+    )
+    return df.select(
+        F.col("value").alias("tick"),
+        F.concat(F.lit("message-"), F.col("value")).alias("payload"),
+        F.lit(source_tag).alias("source"),
+        F.col("timestamp").alias("event_ts"),
+    )
+
+
 def union_sources(*dfs: DataFrame) -> DataFrame:
     """S6 / C3: multiple ``from`` (or ``join {}``) = stream union.
 

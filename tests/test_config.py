@@ -260,3 +260,82 @@ def test_config_parse_syslog_keeps_raw_payload_on_failure(spark, messages):
     assert rows["fr"].parse_ok is False
     assert rows["fr"].payload == "<99999>bad pri"  # raw line survives
     assert rows["de"].payload == "query ran"  # parsed rows get the body
+
+
+def test_config_set_env_literal(spark, monkeypatch):
+    monkeypatch.setenv("BEHOLDER_TEST_DC", "eu-west")
+    out = C.compile_config("set $dc env BEHOLDER_TEST_DC;")(
+        spark.createDataFrame([("x",)], ["payload"])
+    )
+    assert out.first().dc == "eu-west"
+    # missing var → quoted default
+    out2 = C.compile_config("set $dc env NO_SUCH_VAR_SET 'fallback';")(
+        spark.createDataFrame([("x",)], ["payload"])
+    )
+    assert out2.first().dc == "fallback"
+
+
+def test_config_each_field_as_message(spark):
+    df = spark.createDataFrame([(1, "a", 10)], ["id", "x", "y"])
+    # listed fields explode; unlisted columns ride along as identity
+    out = C.compile_config("parse each-field-as-message $x $y;")(df)
+    got = {(r.id, r.key, r.value) for r in out.collect()}
+    assert got == {(1, "x", "a"), (1, "y", "10")}
+    # bare form: every column becomes a (key, value) message
+    out2 = C.compile_config("parse each-field-as-message;")(df)
+    assert {(r.key, r.value) for r in out2.collect()} == {("id", "1"), ("x", "a"), ("y", "10")}
+
+
+def test_config_self_sourcing_from_text(spark, tmp_path):
+    """`from text '<path>'` at top level makes the config name its own
+    scan — the whole job from config text alone (df=None)."""
+    lines_path = str(tmp_path / "lines")
+    spark.createDataFrame(
+        [("<13>Oct 11 22:14:15 h1 app[1]: ok",), ("garbage",)], ["value"]
+    ).coalesce(1).write.mode("overwrite").text(lines_path)
+    cfg = f"""
+    from text '{lines_path}';
+    parse syslog keep-unparsed;
+    """
+    out = C.compile_config(cfg)(None, spark=spark)
+    rows = sorted((r.parse_ok, r.payload) for r in out.collect())
+    assert rows == [(False, "garbage"), (True, "ok")]
+    # and without spark it's a compile-time error
+    with pytest.raises(C.ConfigError, match="self-sourcing"):
+        C.compile_config(cfg)(None)
+
+
+def test_config_buffer_bounds_rows_per_file(spark, tmp_path):
+    """`buffer N` (K5) maps to maxRecordsPerFile on later sinks: a
+    100-row single-partition write lands in ≥10 files of ≤10 rows."""
+    import glob
+
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS payload").coalesce(1)
+    res = C.run_config_pipeline(
+        spark, df, "buffer 10; to file 'out';", str(tmp_path / "o")
+    )
+    assert res["sink_0"].count() == 100
+    files = glob.glob(str(tmp_path / "o" / "sink_0" / "part-*.parquet"))
+    assert len(files) >= 10
+    # without buffer: one partition → one file
+    res2 = C.run_config_pipeline(spark, df, "to file 'out';", str(tmp_path / "o2"))
+    assert res2["sink_0"].count() == 100
+    assert len(glob.glob(str(tmp_path / "o2" / "sink_0" / "part-*.parquet"))) == 1
+
+
+def test_config_dry_run_validates_without_writing(spark, tmp_path):
+    """dry_run ≡ beholder --test: plans are analyzed, nothing written."""
+    import os
+
+    df = spark.createDataFrame([("x", "en")], ["payload", "lang"])
+    out_root = str(tmp_path / "dry")
+    res = C.run_config_pipeline(
+        spark, df, "set $tag '{$lang}'; to file 'sink';", out_root, dry_run=True
+    )
+    assert set(res) == {"sink_0"}
+    assert not os.path.exists(out_root)  # nothing executed
+    # a config referencing a missing column fails AT dry-run time
+    with pytest.raises(Exception):
+        C.run_config_pipeline(
+            spark, df, "set $tag '{$no_such_col}'; to file 's';", out_root, dry_run=True
+        )

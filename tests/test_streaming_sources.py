@@ -1,0 +1,130 @@
+"""Live streaming sources (SURVEY.md §2.1 S2/S3 daemon parity).
+
+Beholder is a long-running listener daemon; these tests run the SAME
+stage compiler over genuinely live Structured Streaming sources — a real
+TCP socket served by a thread (``from tcp`` parity) and the
+deterministic ``rate-micro-batch`` generator (``from timer`` parity) —
+and assert batch-equivalence: the streamed result equals the batch
+engine's result on the same lines.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+from pyspark.sql import functions as F
+
+from beholder_spark import sources
+from beholder_spark.operators import parse
+
+
+def _serve_lines(lines: list[str], ready: threading.Event, stop: threading.Event, port_box: list):
+    """One-shot TCP server: accept one client (the socket source), write
+    newline-framed lines, hold the connection open until told to stop
+    (closing early would fail the streaming query)."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port_box.append(srv.getsockname()[1])
+    srv.settimeout(30)
+    ready.set()
+    try:
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        while not stop.wait(0.2):
+            pass
+        conn.close()
+    except TimeoutError:
+        pass
+    finally:
+        srv.close()
+
+
+def test_socket_stream_parses_like_batch(spark):
+    """A live socket listener feeding the syslog parse stage produces the
+    same severity counts as the batch engine over identical lines."""
+    lines = [f"<{(i * 7) % 100}>1 2026-01-01T00:00:0{i % 10}Z h prog - - - hello {i}" for i in range(50)]
+
+    ready, stop, port_box = threading.Event(), threading.Event(), []
+    t = threading.Thread(target=_serve_lines, args=(lines, ready, stop, port_box), daemon=True)
+    t.start()
+    assert ready.wait(10)
+    port = port_box[0]
+
+    stream = sources.from_socket_stream(spark, "127.0.0.1", port, source_tag="tcp://127.0.0.1")
+    parsed = parse.parse_syslog(stream, col="payload", keep_unparsed=True)
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("sock_rows")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if spark.sql("SELECT count(*) AS n FROM sock_rows").first().n >= len(lines):
+                break
+            time.sleep(0.5)
+        got = (
+            spark.sql("SELECT severity, count(*) AS n FROM sock_rows WHERE parse_ok GROUP BY severity")
+            .toPandas()
+            .set_index("severity")["n"]
+            .to_dict()
+        )
+    finally:
+        stop.set()
+        q.stop()
+
+    batch = parse.parse_syslog(
+        spark.createDataFrame([(ln,) for ln in lines], ["payload"]), col="payload", keep_unparsed=True
+    )
+    exp = (
+        batch.filter("parse_ok")
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .set_index("severity")["n"]
+        .to_dict()
+    )
+    assert got == exp
+    assert sum(exp.values()) > 0  # the corpus parses (guard against vacuous pass)
+
+
+def test_rate_stream_deterministic_values(spark):
+    """rate-micro-batch parity for `from timer`: deterministic ticks and
+    timestamps (epoch 0 + 1 s/batch), so the streamed rows are exactly
+    predictable — the property plain `rate` (wall-clock) cannot give."""
+    rows_per_batch = 10
+    stream = sources.from_rate_stream(spark, rows_per_batch, source_tag="timer")
+    # a downstream stage, same as batch from_timer consumers: route odd/even
+    routed = stream.withColumn("par", F.pmod(F.col("tick"), F.lit(2)))
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("rate_rows")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        want = 3 * rows_per_batch
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if spark.sql("SELECT count(*) AS n FROM rate_rows").first().n >= want:
+                break
+            time.sleep(0.3)
+        rows = spark.sql(
+            f"SELECT tick, payload, source, event_ts, par FROM rate_rows WHERE tick < {want} ORDER BY tick"
+        ).collect()
+    finally:
+        q.stop()
+
+    assert len(rows) == want  # every tick exactly once — no gaps, no dups
+    for r in rows:
+        assert r.payload == f"message-{r.tick}"
+        assert r.source == "timer"
+        assert r.par == r.tick % 2
+        # deterministic event time: batch b (= tick // rows_per_batch) at epoch b seconds
+        assert int(r.event_ts.timestamp()) == r.tick // rows_per_batch
