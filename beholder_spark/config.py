@@ -413,11 +413,18 @@ def _collect_sink(
     this point in the flow (for a case-block sink: already sliced to the
     route) — later commands cannot retroactively change the sink. The
     flow's current `buffer` setting (K5) is captured with it."""
-    if cmd.args[0].value != "file":
-        raise ConfigError("only `to file '<tpl>'` sinks are supported")
+    kind = cmd.args[0].value
+    if kind == "stdout":
+        # K1 debug sink: rows printed at execution (driver-side show —
+        # a bounded debug surface, never a data path)
+        ctx["sinks"].append({"kind": "stdout", "route": route, "df": df})
+        return
+    if kind != "file":
+        raise ConfigError("only `to file '<tpl>'` and `to stdout` sinks are supported")
     tpl = cmd.args[1].value
     ctx["sinks"].append(
         {
+            "kind": "file",
             "path_template": tpl,
             "partition_fields": template_fields(tpl),
             "route": route,
@@ -564,6 +571,10 @@ def run_config_pipeline(
         results: dict[str, DataFrame] = {}
         for i, sink in enumerate(compiled.sinks):
             slice_df = sink["df"]
+            if sink.get("kind") == "stdout":
+                slice_df.show(20, truncate=False)  # K1 debug sink
+                results[f"sink_{i}"] = slice_df
+                continue
             part_cols = [f for f in sink["partition_fields"] if f in slice_df.columns]
             path = os.path.join(out_root, f"sink_{i}")
             w = slice_df.write.mode("overwrite")

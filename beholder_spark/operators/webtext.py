@@ -1,0 +1,172 @@
+"""Web-corpus curation operators: URL canonicalization, repeated-span
+(paragraph/boilerplate) removal, repetition quality signals, and
+benchmark-contamination screening — the CCNet/Gopher-style cleanup a
+Common-Crawl training pipeline runs between extraction and dedup.
+
+Scale notes: canonicalization and repetition stats are pure column
+expressions (codegen'd, no shuffle, fuse with the parse projection).
+Span dedup groups on md5(span) — 32 bytes per span shuffled, never the
+span text — and the hot-span set is broadcast for the anti-join, the
+same skew-bounding shape as the stop-shingle filter in
+:mod:`beholder_spark.operators.dedup`. Contamination checks broadcast
+the (small) benchmark shingle set against the corpus. Everything is
+md5-derived and integer-ratio'd so DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Query parameters that identify a click, not a resource. Shared with the
+# oracle SQL (same regex, same semantics on both engines).
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)(=|$)"
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"[?]([^#]*)"
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical form of a URL: lowercase scheme + host, default port
+    stripped, fragment dropped, tracking query params removed (param
+    ORDER is preserved — full param sorting is a policy choice left to
+    the caller), empty path → '/'.
+
+    Built from anchored regexp_extracts (not parse_url) so the identical
+    regexes run in the DuckDB oracle — one definition of "canonical" on
+    both engines.
+    """
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    # lowercase host, then strip the scheme's default port
+    host = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    host = F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(host)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qpart = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url", out_col: str = "canonical_url") -> DataFrame:
+    """URL canonicalization + canonical-url dedup key (md5). Pure column
+    expressions — fuses into the scan projection, no shuffle; the 32-byte
+    ``url_key`` is what dedup/groupBys shuffle, never the url string."""
+    canon = canonical_url_expr(F.col(url_col))
+    return df.withColumn(out_col, canon).withColumn("url_key", F.md5(canon))
+
+
+def drop_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_doc_freq: int = 2,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """CCNet-style span-level dedup: split each document on ``sep``
+    (paragraphs/lines), DROP spans appearing in more than ``max_doc_freq``
+    distinct documents (navigation, footers, licence boilerplate), and
+    reassemble the survivors in original order.
+
+    Shape at 100 TB: spans group on md5(span) — 32 bytes shuffled per
+    span; the hot-span set (small by construction: only spans repeated
+    across > max_doc_freq docs) broadcasts into a left-anti join; the
+    reassembly groups (id, pos-ordered spans) once. Documents whose every
+    span is boilerplate survive with ``out_col = ''`` (never silently
+    dropped — quarantine philosophy).
+    """
+    parts = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "span")
+    ).withColumn("h", F.md5(F.col("span")))
+    hot = (
+        parts.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("span_df"))
+        .filter(F.col("span_df") > max_doc_freq)
+        .select("h")
+    )
+    kept = parts.join(F.broadcast(hot), "h", "left_anti")
+    re_df = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))), lambda s: s["span"]
+            ),
+            sep,
+        ).alias(out_col)
+    )
+    return df.join(re_df, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, zero-shuffle (array expressions):
+
+    - ``dup_word_ratio``  = 1 − |distinct tokens| / |tokens|
+    - ``dup_2gram_ratio`` = 1 − |distinct 2-grams| / |2-grams|
+
+    High values mark keyword-stuffed / template pages. int/int ratios
+    rounded at the edge → oracle-exact.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    dup_w = F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 4)
+    n2 = n - 1
+    idx = F.when(n2 >= 1, F.sequence(F.lit(1), n2)).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    dup_g = F.when(
+        F.size(grams) > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 4),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("dup_word_ratio", dup_w).withColumn("dup_2gram_ratio", dup_g)
+
+
+def contamination_overlap(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination screen: per corpus document, how many of
+    its distinct word n-grams appear anywhere in the benchmark set
+    (the eval-leakage check a training pipeline runs before shipping a
+    corpus).
+
+    Output: (id, n_shingles, n_contaminated, contamination_ratio). The
+    benchmark's distinct shingle HASHES broadcast (benchmarks are tiny
+    next to a corpus); the corpus side is one generator + one hash agg —
+    no corpus self-join anywhere.
+    """
+    from beholder_spark.operators.dedup import word_shingles
+
+    doc_sh = word_shingles(df, id_col, text_col, n).withColumn("h", F.md5(F.col("shingle")))
+    bench_sh = (
+        word_shingles(
+            bench.select(F.lit(0).alias("_bid"), F.col(bench_text_col or text_col)),
+            "_bid",
+            bench_text_col or text_col,
+            n,
+        )
+        .select(F.md5(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    marked = doc_sh.join(
+        F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "h", "left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 4
+        ).alias("contamination_ratio"),
+    )

@@ -1578,3 +1578,198 @@ def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = multimodal.feature_stub(d, "payload").filter(F.col("features").isNotNull())
     return feats.select("doc_id", F.posexplode("features").alias("i", "f"))
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus curation (operators/webtext.py): URL canonicalization,
+# span-level boilerplate dedup, repetition signals, contamination screen.
+# Testdata has no url/paragraph columns, so both engines CONSTRUCT the
+# same inputs in-query (the _corpus pattern) — the oracle checks the
+# operator, not the synthesis.
+# ---------------------------------------------------------------------------
+
+_URL_BUILD_SQL = """
+      SELECT doc_id,
+             'HTTPS://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) ||
+             '.COM:443/Path/' || CAST(doc_id AS VARCHAR) ||
+             '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) ||
+             '&utm_campaign=y#frag' AS url
+      FROM documents
+"""
+
+
+@_register(
+    "webtext_url_canonicalize",
+    f"""
+    WITH u AS ({_URL_BUILD_SQL}),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hostport,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract(url, '[?]([^#]*)', 1) AS query
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://' ||
+        CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+             ELSE hostport END ||
+        CASE WHEN path = '' THEN '/' ELSE path END ||
+        CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+          AS canonical_url
+      FROM (
+        SELECT *, list_filter(
+          string_split(query, '&'),
+          p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)(=|$)')
+        ) AS kept
+        FROM parts
+      )
+    )
+    SELECT doc_id, canonical_url, md5(canonical_url) AS url_key FROM canon
+    """,
+)
+def webtext_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: lowercase scheme/host, strip default port +
+    fragment + tracking params (utm_*/gclid/fbclid/msclkid/ref), md5 dedup
+    key. Pure regexp column expressions — the IDENTICAL regexes run in
+    the oracle, so 'canonical' has one definition on both engines."""
+    from beholder_spark.operators import webtext
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Example"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".COM:443/Path/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&id="),
+            F.col("doc_id").cast("string"),
+            F.lit("&utm_campaign=y#frag"),
+        ).alias("url"),
+    )
+    return webtext.with_canonical_url(d).select("doc_id", "canonical_url", "url_key")
+
+
+@_register(
+    "webtext_span_dedup",
+    """
+    WITH built AS (
+      SELECT doc_id,
+             text || chr(10) || 'copyright footer all rights reserved' ||
+             chr(10) || substr(text, 1, 40) AS t2
+      FROM documents WHERE text IS NOT NULL
+    ),
+    parts AS (
+      SELECT doc_id, i AS pos, spans[i] AS span
+      FROM (SELECT doc_id, string_split(t2, chr(10)) AS spans FROM built),
+           (SELECT unnest(generate_series(1, len(spans))) AS i)
+    ),
+    hot AS (
+      SELECT md5(span) AS h FROM parts GROUP BY 1 HAVING count(DISTINCT doc_id) > 2
+    ),
+    kept AS (
+      SELECT p.* FROM parts p WHERE md5(p.span) NOT IN (SELECT h FROM hot)
+    ),
+    re AS (
+      SELECT doc_id, string_agg(span, chr(10) ORDER BY pos) AS text_dedup
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, coalesce(re.text_dedup, '') AS text_dedup
+    FROM built b LEFT JOIN re USING (doc_id)
+    """,
+)
+def webtext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style span-level dedup: paragraphs repeated across > 2 docs
+    (the injected copyright footer — and any shared 40-char prefixes) are
+    dropped; survivors reassemble in original order; fully-boilerplate
+    docs survive as ''. Spans group on md5 (32 bytes shuffled, not text);
+    the hot-span set broadcasts into the anti-join."""
+    from beholder_spark.operators import webtext
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\ncopyright footer all rights reserved\n"),
+                F.substring(F.col("text"), 1, 40),
+            ).alias("t2"),
+        )
+    )
+    return webtext.drop_repeated_spans(d, "doc_id", "t2", sep="\n", max_doc_freq=2).select(
+        "doc_id", "text_dedup"
+    )
+
+
+@_register(
+    "webtext_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id,
+             round(1 - count(DISTINCT gram) / count(*), 4) AS dup_2gram_ratio
+      FROM (
+        SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+        FROM t, (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i)
+      )
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           round(1 - len(list_distinct(toks)) / len(toks), 4) AS dup_word_ratio,
+           coalesce(g.dup_2gram_ratio, 0.0) AS dup_2gram_ratio
+    FROM t LEFT JOIN grams g ON t.doc_id = g.doc_id
+    """,
+)
+def webtext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-word / dup-2gram fractions):
+    zero-shuffle array expressions that fuse into the scan projection —
+    the template-page filter a corpus pipeline applies before training."""
+    from beholder_spark.operators import webtext
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return webtext.with_repetition_stats(d, "text").select(
+        "doc_id", "dup_word_ratio", "dup_2gram_ratio"
+    )
+
+
+@_register(
+    "webtext_contamination",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    doc_sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      FROM t, (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)
+    ),
+    bench AS (SELECT DISTINCT md5(shingle) AS h FROM doc_sh WHERE doc_id < 20),
+    marked AS (
+      SELECT d.doc_id, CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM (SELECT doc_id, md5(shingle) AS h FROM doc_sh) d
+      LEFT JOIN bench b USING (h)
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(hit) AS BIGINT) AS n_contaminated,
+           round(sum(hit) / count(*), 4) AS contamination_ratio
+    FROM marked GROUP BY doc_id
+    """,
+)
+def webtext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: per document, the fraction of its
+    distinct 3-gram shingles found anywhere in the 'benchmark' set (docs
+    0-19 stand in; a real eval set plugs into the same broadcast). The
+    benchmark shingle hashes broadcast — no corpus self-join."""
+    from beholder_spark.operators import webtext
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bench = d.filter(F.col("doc_id") < 20)
+    return webtext.contamination_overlap(d, bench, "doc_id", "text", n=3)

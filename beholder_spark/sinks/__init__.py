@@ -14,6 +14,58 @@ from pyspark.sql import DataFrame
 SINK_FORMAT = "parquet"  # "iceberg" in production; single switch point
 
 
+def send_partition_to_socket(host: str, port: int, line_col: str):
+    """Executor-side sender for :func:`write_socket_stream`: one TCP
+    connection per partition (Beholder's sender-pool analogue — senders
+    run in parallel across executors, never through the driver). NULL
+    lines are skipped (nothing to frame)."""
+
+    def send(rows) -> None:
+        import socket as _socket
+
+        conn = _socket.create_connection((host, port), timeout=30)
+        try:
+            for r in rows:
+                v = r[line_col]
+                if v is not None:
+                    conn.sendall((str(v) + "\n").encode("utf-8"))
+        finally:
+            conn.close()
+
+    return send
+
+
+def write_socket_stream(
+    stream: DataFrame,
+    host: str,
+    port: int,
+    checkpoint_path: str,
+    line_col: str = "payload",
+    available_now: bool = True,
+):
+    """K3 ``to tcp host:port`` as a LIVE sink: each micro-batch's rows are
+    serialized newline-framed and sent over TCP from the executors
+    (``foreachPartition`` — one connection per partition, parallel
+    senders, zero driver-side data movement).
+
+    Delivery semantics: at-least-once — a failed send fails the batch,
+    the streaming checkpoint retries it (the socket peer must tolerate
+    replays; Beholder's UDP/TCP senders are also at-least-once at best).
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.foreachPartition(send_partition_to_socket(host, port, line_col))
+
+    w = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
     """K2 ``to file <tpl>``: field-templated path ≡ partition columns.
 

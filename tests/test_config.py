@@ -339,3 +339,12 @@ def test_config_dry_run_validates_without_writing(spark, tmp_path):
         C.run_config_pipeline(
             spark, df, "set $tag '{$no_such_col}'; to file 's';", out_root, dry_run=True
         )
+
+
+def test_config_to_stdout_debug_sink(spark, tmp_path, capsys):
+    """K1 `to stdout`: rows print at execution; the flow is unaffected."""
+    df = spark.createDataFrame([("hello-stdout-row", "en")], ["payload", "lang"])
+    res = C.run_config_pipeline(spark, df, "to stdout; keep $lang; to file 'f';", str(tmp_path / "o"))
+    assert res["sink_0"].columns == ["payload", "lang"]  # captured pre-keep
+    assert res["sink_1"].columns == ["lang"]
+    assert "hello-stdout-row" in capsys.readouterr().out

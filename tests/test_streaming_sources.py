@@ -128,3 +128,68 @@ def test_rate_stream_deterministic_values(spark):
         assert r.par == r.tick % 2
         # deterministic event time: batch b (= tick // rows_per_batch) at epoch b seconds
         assert int(r.event_ts.timestamp()) == r.tick // rows_per_batch
+
+
+def _recv_server(ready: threading.Event, stop: threading.Event, port_box: list, lines_box: list):
+    """Accepting TCP server: collects newline-framed lines from ANY number
+    of connections (the socket sink opens one per partition)."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(16)
+    srv.settimeout(0.5)
+    port_box.append(srv.getsockname()[1])
+    ready.set()
+
+    def drain(conn):
+        buf = b""
+        conn.settimeout(10)
+        try:
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+        finally:
+            conn.close()
+        lines_box.extend(buf.decode().splitlines())
+
+    workers = []
+    while not stop.is_set():
+        try:
+            conn, _ = srv.accept()
+        except TimeoutError:
+            continue
+        t = threading.Thread(target=drain, args=(conn,), daemon=True)
+        t.start()
+        workers.append(t)
+    for t in workers:
+        t.join(10)
+    srv.close()
+
+
+def test_socket_sink_sends_all_lines(spark, tmp_path):
+    """K3 `to tcp` parity: a streamed table is serialized newline-framed
+    and delivered over live TCP from the executors — every line arrives
+    exactly once under availableNow (checkpointed single run)."""
+    from beholder_spark import sinks
+
+    src_dir = str(tmp_path / "src")
+    expected = [f"<13>Oct 11 22:14:1{i % 10} h app[{i}]: msg {i}" for i in range(40)]
+    spark.createDataFrame([(ln,) for ln in expected], ["payload"]).write.parquet(src_dir)
+
+    ready, stop, port_box, lines_box = threading.Event(), threading.Event(), [], []
+    t = threading.Thread(target=_recv_server, args=(ready, stop, port_box, lines_box), daemon=True)
+    t.start()
+    assert ready.wait(10)
+
+    stream = spark.readStream.schema("payload string").parquet(src_dir)
+    q = sinks.write_socket_stream(
+        stream, "127.0.0.1", port_box[0], checkpoint_path=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    time.sleep(1)  # let the drain threads finish reading
+    stop.set()
+    t.join(15)
+
+    assert sorted(lines_box) == sorted(expected)
