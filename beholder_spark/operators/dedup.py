@@ -197,3 +197,70 @@ def simhash(
 def simhash16(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
     """16-bit SimHash (compact oracle-demo width; see :func:`simhash`)."""
     return simhash(df, id_col, text_col, out_col, bits=16)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over an
+    undirected candidate-pair edge list (the step after LSH that turns
+    pairwise matches into keep-one-per-cluster groups).
+
+    Returns (node, cluster_id) for every node appearing in ``pairs``,
+    where cluster_id = min node id in the component — deterministic, so
+    "keep the canonical doc" = ``node == cluster_id``. Singletons never
+    enter the edge list; callers left-join and coalesce to the node's own
+    id.
+
+    Algorithm: min-label propagation. Each round every node takes the min
+    of its own label and its neighbours' labels; converged when no label
+    changes. Rounds needed = component diameter — small for near-dup
+    clusters (dup sets are dense). Each round is one equi-join + one
+    min-aggregate on (node) — shuffle keys are ids, payload one long.
+    ``localCheckpoint`` every few rounds truncates the growing lineage so
+    round N's plan doesn't replay rounds 1..N-1. The per-round
+    convergence check is a scalar count (never a collect of data).
+
+    Raises RuntimeError if not converged within ``max_iter`` — a diameter
+    that large means the edge list is not near-dup-shaped (no silent
+    partial clustering).
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.distinct().persist()
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    try:
+        for i in range(max_iter):
+            msgs = edges.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            ).select(F.col("u").alias("node"), "label")
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            if i % 3 == 2:
+                new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.persist()
+            changed = (
+                new_labels.join(
+                    labels.select("node", F.col("label").alias("_old")), "node"
+                )
+                .filter(F.col("label") != F.col("_old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select("node", F.col("label").alias("cluster_id"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "edge list has a component with diameter > max_iter"
+        )
+    finally:
+        edges.unpersist()

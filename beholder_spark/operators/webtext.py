@@ -129,6 +129,39 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("dup_word_ratio", dup_w).withColumn("dup_2gram_ratio", dup_g)
 
 
+# PII patterns, shared verbatim with the DuckDB oracle. Kept to the
+# regex subset Java (Spark) and RE2 (DuckDB) parse identically: no
+# lookaround, no backrefs, ASCII \b word boundaries, explicit [0-9].
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_CARD_RE = r"\b[0-9]{4}([ \-][0-9]{4}){3}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Scrub emails, IPv4 addresses, and 16-digit card-shaped numbers to
+    typed placeholders, keeping per-document match counts (counted on the
+    ORIGINAL text, before any replacement shifts offsets).
+
+    Pure column expressions — regexp_count + three regexp_replace passes
+    fuse into the scan projection with zero shuffle; order matters only
+    in that emails are replaced first (an email can embed digit runs).
+    The same three patterns run in the oracle, so "redacted" has one
+    definition on both engines.
+    """
+    src = F.col(text_col)
+    out = (
+        df.withColumn("n_emails", F.regexp_count(src, F.lit(PII_EMAIL_RE)))
+        .withColumn("n_ips", F.regexp_count(src, F.lit(PII_IPV4_RE)))
+        .withColumn("n_cards", F.regexp_count(src, F.lit(PII_CARD_RE)))
+    )
+    red = F.regexp_replace(src, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_CARD_RE, "<CARD>")
+    return out.withColumn(out_col, red)
+
+
 def contamination_overlap(
     df: DataFrame,
     bench: DataFrame,

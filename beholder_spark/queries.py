@@ -1773,3 +1773,172 @@ def webtext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     bench = d.filter(F.col("doc_id") < 20)
     return webtext.contamination_overlap(d, bench, "doc_id", "text", n=3)
+
+
+# ---------------------------------------------------------------------------
+# Time-ordered joins: as-of attribution, bounded interval join (operators/asof)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "asof_purchase_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, round(max(value), 4) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, round(value, 4) AS value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS asof_ts, c.click_value AS asof_click_value
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (attribution): each purchase picks the most recent
+    prior click of the same user, inclusive at equal timestamps.
+    Spark lacks ASOF JOIN; the union-tag + window implementation is ONE
+    shuffle on user_id with no pair explosion (operators/asof.py) — the
+    oracle is DuckDB's native ASOF LEFT JOIN, proving the rewrite exact,
+    including purchases with no prior click (NULLs, never dropped)."""
+    from beholder_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round(F.col("value"), 4).alias("value")
+    )
+    return asof.asof_join(purchases, clicks, ["user_id"], "ts", ["click_value"])
+
+
+@_register(
+    "interval_clicks_before_purchase",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           count(c.ts) AS n_in_window
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def interval_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval join: clicks in the trailing hour before each
+    purchase, per user. The Spark plan is a bucketed EQUI-join (right
+    rows explode to the constant number of hour-buckets their window
+    reaches; exact range predicate filters after) — no inequality-join
+    nested loop, AQE-splittable keys. Oracle: the plain inequality join
+    DuckDB can afford at this scale."""
+    from beholder_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof.interval_join_count(
+        purchases, clicks, ["user_id"], "ts", window_seconds=3600
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+    """,
+)
+def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the
+    MinHash+LSH candidate pairs (min-label propagation, one equi-join +
+    min-aggregate per round, convergence checked by scalar count —
+    operators/dedup.py:connected_components). cluster_id = min doc_id in
+    the component, so keep-one-per-cluster is `doc_id = cluster_id`.
+    Oracle: DuckDB recursive CTE reachability over the same pairs."""
+    pairs = dd.minhash_candidate_pairs(_corpus(spark, sf_dir), "doc_id", "text", shingle_n=3)
+    cc = dd.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (webtext)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "webtext_pii_redact",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+                  || '.7 card 4111 1111 1111 1111' AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(t, '\b[0-9]{4}([ \-][0-9]{4}){3}\b')) AS n_cards,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '\b[0-9]{4}([ \-][0-9]{4}){3}\b', '<CARD>', 'g')) AS redacted_key
+    FROM synth
+    """,
+)
+def webtext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4 / card-shaped numbers → typed
+    placeholders) with per-doc match counts. PII is synthesised
+    deterministically from doc_id on BOTH engines so every row exercises
+    every pattern; the three regexes are shared verbatim with the oracle
+    (Java∩RE2 subset). Zero shuffle — fuses into the scan projection."""
+    from beholder_spark.operators import webtext
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 card 4111 1111 1111 1111"),
+        ).alias("t"),
+    )
+    red = webtext.redact_pii(synth, "t", out_col="t_red")
+    return red.select(
+        "doc_id",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_ips").cast("bigint").alias("n_ips"),
+        F.col("n_cards").cast("bigint").alias("n_cards"),
+        F.md5(F.col("t_red")).alias("redacted_key"),
+    )
