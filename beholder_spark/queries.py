@@ -1942,3 +1942,64 @@ def webtext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cards").cast("bigint").alias("n_cards"),
         F.md5(F.col("t_red")).alias("redacted_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline: quality → repetition filter → exact dedup → stats
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "curation_pipeline_counts",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(len(list_filter(string_split(text, ' '), w -> w IN ({_STOP})))
+                   / len(string_split(text, ' ')), 4) AS stop_ratio,
+             round(1 - len(list_distinct(string_split(text, ' ')))
+                   / len(string_split(text, ' ')), 4) AS dup_word_ratio,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents WHERE text IS NOT NULL
+    ),
+    filt AS (
+      SELECT *,
+             CASE WHEN n_tokens < 30 THEN 'short'
+                  WHEN stop_ratio > 0.15 THEN 'fluent'
+                  ELSE 'listy' END AS quality_bucket
+      FROM base
+      WHERE n_tokens >= 20 AND dup_word_ratio <= 0.3
+    ),
+    kept AS (
+      SELECT * FROM filt
+      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    )
+    SELECT lang, quality_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           max(stop_ratio) AS max_stop_ratio
+    FROM kept GROUP BY lang, quality_bucket
+    """,
+)
+def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus-curation pipeline a training-data user runs
+    end-to-end: quality scoring + Gopher repetition signals (both fused
+    into the scan projection, zero extra passes) → threshold filter →
+    exact dedup on the 32-byte content fingerprint (shuffles hashes,
+    never text; keep lowest doc_id) → per-(lang, quality) stats. One
+    oracle proves the whole chain, not just each stage in isolation."""
+    from beholder_spark.operators import textstats, webtext
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = textstats.with_quality(d)
+    d = webtext.with_repetition_stats(d)
+    d = textstats.with_fingerprint(d)
+    filt = d.filter((F.col("n_tokens") >= 20) & (F.col("dup_word_ratio") <= 0.3))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = filt.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return kept.groupBy("lang", "quality_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("stop_ratio").alias("max_stop_ratio"),
+    )

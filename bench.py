@@ -126,6 +126,13 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "textstats_quality",
         "lang_id_confusion",
         "fingerprint_dups",
+        "asof_purchase_attribution",
+        "interval_clicks_before_purchase",
+        "dedup_dup_clusters",
+        "webtext_url_canonicalize",
+        "webtext_span_dedup",
+        "webtext_pii_redact",
+        "curation_pipeline_counts",
     ]
     times: dict[str, float] = {}
     for name in names:
