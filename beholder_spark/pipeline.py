@@ -79,13 +79,100 @@ OPS = {
 }
 
 
-def compile_pipeline(df: DataFrame, spec: list[dict[str, Any]]) -> DataFrame:
+# Stages that change WHICH rows survive (never prunable): row filters,
+# and enrich joins that aren't left joins.
+_ROW_OPS = {"drop_when", "filter"}
+
+
+def _stage_outputs(st: dict) -> set[str]:
+    op = st["op"]
+    if op in ("parse_text", "parse_text_dedup"):
+        return {st.get("dst", "text_out"), "parse_ok"}
+    if op == "set_host":
+        return {st.get("field", "host")}
+    if op in ("set", "set_replace", "set_date"):
+        return {st["field"]}
+    if op == "enrich":
+        return set(st["lookup"].columns) - {st["on"]}
+    if op == "route":
+        return {st.get("route_col", "route")}
+    return set()  # keep/unset reshape the schema, produce no values
+
+
+def _stage_deps(st: dict) -> set[str] | None:
+    """Input columns a stage reads; None = unknown (opaque Column
+    condition with no declared ``deps`` list)."""
+    if "deps" in st:
+        return set(st["deps"])
+    op = st["op"]
+    if op in ("parse_text", "parse_text_dedup"):
+        return {st["src"]}
+    if op == "set_host":
+        return {st.get("url_col", "url")}
+    if op == "set":
+        return set(st["cols"])
+    if op == "set_replace":
+        return {st.get("src") or st["field"]}
+    if op == "set_date":
+        return {st["ts_col"]}
+    if op == "enrich":
+        return {st["on"]}
+    if op in ("keep", "unset"):
+        return set()
+    return None  # route/drop_when/filter hold opaque Column conditions
+
+
+def prune_spec(spec: list[dict[str, Any]], needed: list[str] | set[str]) -> list[dict[str, Any]]:
+    """Stage-level dependency pruning — the optimizer pass Catalyst CANNOT
+    do for us: ``parse_ok = isnotnull(<pandas UDF>(html))`` makes the
+    Python UDF load-bearing in every downstream expression, so Catalyst
+    must run it even for aggregates that never touch a parse output.
+    This pass works at STAGE granularity instead: walking the spec
+    backwards from the caller's needed columns, a stage survives only if
+    it produces a needed column (or filters rows); everything else —
+    including the parse UDF — is dropped before Catalyst ever sees it.
+
+    Row-semantics stages (drop_when / filter / non-left enrich) are
+    always kept. If a kept stage's inputs can't be determined (an opaque
+    Column condition with no ``deps`` declared on the stage), pruning
+    bails out and returns the original spec — correctness is never
+    traded for the optimization.
+    """
+    need = set(needed)
+    kept: list[dict[str, Any]] = []
+    for st in reversed(spec):
+        rowish = st["op"] in _ROW_OPS or (
+            st["op"] == "enrich" and st.get("how", "left") != "left"
+        )
+        outs = _stage_outputs(st)
+        if not (rowish or outs & need):
+            continue  # pruned: contributes no needed column, drops no row
+        deps = _stage_deps(st)
+        if deps is None:
+            return list(spec)  # can't prove safety — keep everything
+        kept.append(st)
+        need = (need | deps) if rowish else ((need - outs) | deps)
+    return list(reversed(kept))
+
+
+def compile_pipeline(
+    df: DataFrame, spec: list[dict[str, Any]], prune_for: list[str] | None = None
+) -> DataFrame:
     """Compile a stage list into one DataFrame expression DAG.
 
     All stages fuse into as few physical stages as Catalyst can manage —
     typically ONE codegen'd projection + the pandas-UDF exchange-free
     stage. No shuffles are introduced here by construction.
+
+    ``prune_for=[cols]`` applies :func:`prune_spec` first: the compiled
+    plan is guaranteed to produce those columns with values identical to
+    the full pipeline's, but stages (notably the parse UDF) that don't
+    feed them are never executed. Use for aggregate-only jobs over the
+    input side (counts per host/day, sampling decisions) that would
+    otherwise pay text extraction for columns they discard.
     """
+    if prune_for is not None:
+        spec = prune_spec(spec, prune_for)
     for st in spec:
         df = OPS[st["op"]](df, st)
     return df
@@ -113,7 +200,9 @@ def pages_spec(lookup: DataFrame, dedup_parse: bool = False) -> list[dict[str, A
         {"op": "parse_text_dedup" if dedup_parse else "parse_text", "src": "html", "dst": "text_out"},
         {"op": "set_host", "url_col": "url"},
         {"op": "enrich", "lookup": lookup, "on": "host"},
-        {"op": "route", "cases": default_routes()},
+        # deps declared so prune_spec can reason about the opaque case
+        # Columns (they read parse_ok / category / lang — see default_routes)
+        {"op": "route", "cases": default_routes(), "deps": ["parse_ok", "category", "lang"]},
     ]
 
 
