@@ -419,8 +419,23 @@ def _collect_sink(
         # a bounded debug surface, never a data path)
         ctx["sinks"].append({"kind": "stdout", "route": route, "df": df})
         return
+    if kind in ("tcp", "udp"):
+        # K3 live network sinks: `to tcp 'host:port'` / `to udp 'host:port'`
+        if len(cmd.args) < 2:
+            raise ConfigError(f"`to {kind}` needs a 'host:port' address")
+        addr = cmd.args[1].value
+        host, _, port = addr.rpartition(":")
+        if not host or not port.isdigit():
+            raise ConfigError(f"`to {kind}` needs 'host:port', got {addr!r}")
+        ctx["sinks"].append(
+            {"kind": kind, "route": route, "df": df, "host": host, "port": int(port)}
+        )
+        return
     if kind != "file":
-        raise ConfigError("only `to file '<tpl>'` and `to stdout` sinks are supported")
+        raise ConfigError(
+            "only `to file '<tpl>'`, `to stdout`, `to tcp 'host:port'`, "
+            "and `to udp 'host:port'` sinks are supported"
+        )
     tpl = cmd.args[1].value
     ctx["sinks"].append(
         {
@@ -573,6 +588,19 @@ def run_config_pipeline(
             slice_df = sink["df"]
             if sink.get("kind") == "stdout":
                 slice_df.show(20, truncate=False)  # K1 debug sink
+                results[f"sink_{i}"] = slice_df
+                continue
+            if sink.get("kind") in ("tcp", "udp"):
+                # K3 live network sinks: executor-side senders, one
+                # connection/socket per partition (never via the driver)
+                from beholder_spark import sinks as _sk
+
+                mk = (
+                    _sk.send_partition_to_socket
+                    if sink["kind"] == "tcp"
+                    else _sk.send_partition_to_udp
+                )
+                slice_df.foreachPartition(mk(sink["host"], sink["port"], "payload"))
                 results[f"sink_{i}"] = slice_df
                 continue
             part_cols = [f for f in sink["partition_fields"] if f in slice_df.columns]

@@ -221,8 +221,11 @@ def connected_components(
     clusters (dup sets are dense). Each round is one equi-join + one
     min-aggregate on (node) — shuffle keys are ids, payload one long.
     ``localCheckpoint`` every few rounds truncates the growing lineage so
-    round N's plan doesn't replay rounds 1..N-1. The per-round
-    convergence check is a scalar count (never a collect of data).
+    round N's plan doesn't replay rounds 1..N-1. Convergence detection is
+    a single scalar aggregate (labels only ever DECREASE under min, so
+    sum(label) is strictly monotone until fixpoint — an unchanged sum IS
+    convergence), not a join of old vs new labels: one cheap job per
+    round instead of two, never a collect of data.
 
     Raises RuntimeError if not converged within ``max_iter`` — a diameter
     that large means the edge list is not near-dup-shaped (no silent
@@ -234,6 +237,7 @@ def connected_components(
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).persist()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     try:
         for i in range(max_iter):
             msgs = edges.join(
@@ -247,17 +251,12 @@ def connected_components(
             if i % 3 == 2:
                 new_labels = new_labels.localCheckpoint(eager=False)
             new_labels = new_labels.persist()
-            changed = (
-                new_labels.join(
-                    labels.select("node", F.col("label").alias("_old")), "node"
-                )
-                .filter(F.col("label") != F.col("_old"))
-                .count()
-            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels.select("node", F.col("label").alias("cluster_id"))
+            prev_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "edge list has a component with diameter > max_iter"

@@ -66,6 +66,59 @@ def write_socket_stream(
     return w.start()
 
 
+def send_partition_to_udp(host: str, port: int, line_col: str, max_bytes: int = 60000):
+    """Executor-side sender for :func:`write_udp_stream`: one datagram per
+    row (Beholder's native transport — syslog-over-UDP). One socket per
+    partition; rows longer than ``max_bytes`` are truncated at the UDP
+    payload boundary (datagram semantics: oversize would raise EMSGSIZE
+    and fail the batch — truncation-with-contract beats a poison-pill
+    row). NULL lines are skipped."""
+
+    def send(rows) -> None:
+        import socket as _socket
+
+        sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        try:
+            for r in rows:
+                v = r[line_col]
+                if v is not None:
+                    sock.sendto(str(v).encode("utf-8")[:max_bytes], (host, port))
+        finally:
+            sock.close()
+
+    return send
+
+
+def write_udp_stream(
+    stream: DataFrame,
+    host: str,
+    port: int,
+    checkpoint_path: str,
+    line_col: str = "payload",
+    available_now: bool = True,
+):
+    """K3 ``to udp host:port`` as a LIVE sink: one datagram per row, sent
+    from the executors (``foreachPartition`` — parallel senders, zero
+    driver-side data movement), mirroring :func:`write_socket_stream`.
+
+    Delivery semantics: fire-and-forget per datagram (UDP loses what the
+    network loses — same contract as Beholder's UDP sender), but batch
+    REPLAY still follows the streaming checkpoint, so the peer may see
+    duplicates after a failure: at-most-once per send, at-least-once per
+    batch. Returns the started StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.foreachPartition(send_partition_to_udp(host, port, line_col))
+
+    w = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
     """K2 ``to file <tpl>``: field-templated path ≡ partition columns.
 

@@ -348,3 +348,54 @@ def test_config_to_stdout_debug_sink(spark, tmp_path, capsys):
     assert res["sink_0"].columns == ["payload", "lang"]  # captured pre-keep
     assert res["sink_1"].columns == ["lang"]
     assert "hello-stdout-row" in capsys.readouterr().out
+
+
+def test_config_to_udp_sink(spark, tmp_path):
+    """K3 `to udp 'host:port'` in config text: one datagram per row sent
+    from the executors; the flow continues past the sink."""
+    import socket
+    import threading
+
+    lines_box, port_box = [], []
+    ready, stop = threading.Event(), threading.Event()
+
+    def recv():
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.bind(("127.0.0.1", 0))
+        sock.settimeout(0.5)
+        port_box.append(sock.getsockname()[1])
+        ready.set()
+        while not stop.is_set():
+            try:
+                data, _ = sock.recvfrom(65536)
+            except TimeoutError:
+                continue
+            lines_box.append(data.decode())
+        sock.close()
+
+    t = threading.Thread(target=recv, daemon=True)
+    t.start()
+    assert ready.wait(10)
+
+    df = spark.createDataFrame([(f"udp line {i}", "en") for i in range(20)], ["payload", "lang"])
+    res = C.run_config_pipeline(
+        spark, df, f"to udp '127.0.0.1:{port_box[0]}'; to file 'f';", str(tmp_path / "o")
+    )
+    import time as _time
+
+    _time.sleep(1)
+    stop.set()
+    t.join(10)
+    assert sorted(lines_box) == sorted(f"udp line {i}" for i in range(20))
+    assert res["sink_1"].count() == 20  # flow unaffected
+
+
+def test_config_to_tcp_bad_address_rejected(spark):
+    with pytest.raises(C.ConfigError, match="host:port"):
+        C.run_config_pipeline(
+            spark,
+            spark.createDataFrame([("x",)], ["payload"]),
+            "to tcp 'nope';",
+            "/tmp/unused",
+            dry_run=True,
+        )

@@ -168,6 +168,49 @@ def _recv_server(ready: threading.Event, stop: threading.Event, port_box: list, 
     srv.close()
 
 
+def _udp_recv_server(ready: threading.Event, stop: threading.Event, port_box: list, lines_box: list):
+    """UDP receiver: one datagram = one line (no framing)."""
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(0.5)
+    port_box.append(sock.getsockname()[1])
+    ready.set()
+    while not stop.is_set():
+        try:
+            data, _ = sock.recvfrom(65536)
+        except TimeoutError:
+            continue
+        lines_box.append(data.decode())
+    sock.close()
+
+
+def test_udp_sink_sends_all_datagrams(spark, tmp_path):
+    """K3 `to udp` parity: one datagram per row from the executors.
+    Loopback UDP doesn't drop under this load, so all rows arrive —
+    the lossy-network caveat is the protocol's, not the sink's."""
+    from beholder_spark import sinks
+
+    src_dir = str(tmp_path / "src")
+    expected = [f"<14>Oct 11 22:14:1{i % 10} h app[{i}]: udp {i}" for i in range(40)]
+    spark.createDataFrame([(ln,) for ln in expected], ["payload"]).write.parquet(src_dir)
+
+    ready, stop, port_box, lines_box = threading.Event(), threading.Event(), [], []
+    t = threading.Thread(target=_udp_recv_server, args=(ready, stop, port_box, lines_box), daemon=True)
+    t.start()
+    assert ready.wait(10)
+
+    stream = spark.readStream.schema("payload string").parquet(src_dir)
+    q = sinks.write_udp_stream(
+        stream, "127.0.0.1", port_box[0], checkpoint_path=str(tmp_path / "ckpt_udp")
+    )
+    q.awaitTermination(60)
+    time.sleep(1)
+    stop.set()
+    t.join(10)
+
+    assert sorted(lines_box) == sorted(expected)
+
+
 def test_socket_sink_sends_all_lines(spark, tmp_path):
     """K3 `to tcp` parity: a streamed table is serialized newline-framed
     and delivered over live TCP from the executors — every line arrives
