@@ -117,6 +117,49 @@ def session_windows(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+    max_lag_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: left rows pair with right rows of
+    the same key whose timestamp lies in ``[left_ts − max_lag, left_ts]``
+    — the streaming twin of :func:`beholder_spark.operators.asof
+    .interval_join_count`'s trailing window (attribution under unbounded
+    input).
+
+    State stays BOUNDED because both requirements Spark demands are met:
+    each side is watermarked, and the join condition constrains the two
+    event times relative to each other — so the engine can evict buffered
+    rows older than ``watermark + max_lag``. Without the time-range
+    predicate a stream-stream join would buffer forever.
+
+    Right-side columns are prefixed ``r_`` (both sides carry ``key`` and
+    a timestamp — unprefixed they'd be ambiguous in the join output).
+    """
+    lt = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")).withWatermark(
+        left_ts, watermark
+    )
+    rt = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    rt = rt.withColumn(f"r_{right_ts}", F.col(f"r_{right_ts}").cast("timestamp")).withWatermark(
+        f"r_{right_ts}", watermark
+    )
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(f"r_{right_ts}") <= F.col(left_ts))
+        & (
+            F.col(f"r_{right_ts}")
+            >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag_seconds} SECOND")
+        )
+    )
+    return lt.join(rt, cond, how)
+
+
 def running_counts_stateful(
     stream: DataFrame,
     key: str,

@@ -153,9 +153,17 @@ def main_bench() -> None:
     spark = get_spark("beholder-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     pages_path, lookup_path = ensure_bench_tables(spark)
 
-    # warm the JVM/scan once, then measure
+    # warm the JVM/scan once, then measure min-of-N. The host's shared
+    # virtio disk + CPU give 2-5× swings between IDENTICAL back-to-back
+    # runs (measured: compute-only 16.5s/20.0s/40.2s consecutive in one
+    # JVM — BENCH/BASELINE.md noise section); the min is the engine's
+    # capability, and a single-run headline is a lottery ticket.
+    runs = int(os.environ.get("BENCH_PIPELINE_RUNS", "3"))
     run_pipeline_once(spark, pages_path, lookup_path)
-    sec, docs = run_pipeline_once(spark, pages_path, lookup_path)
+    timed = [run_pipeline_once(spark, pages_path, lookup_path) for _ in range(runs)]
+    docs = timed[0][1]
+    secs = sorted(round(s, 2) for s, _ in timed)
+    sec = secs[0]
     # payload-dedup parse variant (extract once per distinct html — the
     # re-crawl-heavy-corpus optimization; reported alongside, not as the
     # headline, because its win scales with the input's duplicate rate)
@@ -170,6 +178,7 @@ def main_bench() -> None:
                 "value": round(docs / sec, 1),
                 "unit": "docs/sec",
                 "pipeline_sec": round(sec, 2),
+                "pipeline_runs_sec": secs,
                 "pipeline_docs": docs,
                 "dedup_parse_sec": round(dd_sec, 2),
                 "dedup_parse_docs_per_sec": round(docs / dd_sec, 1),

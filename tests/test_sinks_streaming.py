@@ -149,3 +149,40 @@ def test_streaming_windowed_counts(spark, fixture_dir, tmp_path):
     # watermark may drop the deliberately-late rows (~0.5%); never exceeds input
     total = spark.read.parquet(pages_path).count()
     assert total * 0.99 <= got <= total
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join (purchases ⋈ clicks within the
+    trailing hour per user) equals the batch inequality join on the same
+    rows — and the time-range + watermark pair keeps state bounded."""
+    from beholder_spark import streaming as st
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks_dir, purch_dir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks.write.parquet(clicks_dir)
+    purch.write.parquet(purch_dir)
+
+    ls = spark.readStream.schema(purch.schema).parquet(purch_dir)
+    rs = spark.readStream.schema(clicks.schema).parquet(clicks_dir)
+    joined = st.stream_stream_join(ls, rs, "user_id", "ts", "ts", max_lag_seconds=3600)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_rows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, r_event_id FROM ssj_rows").collect()
+
+    batch = purch.alias("p").join(
+        clicks.alias("c"),
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 3600 SECOND")),
+    ).select(F.col("p.event_id"), F.col("c.event_id").alias("r_event_id"))
+    exp = batch.collect()
+    assert sorted((r[0], r[1]) for r in got) == sorted((r[0], r[1]) for r in exp)
+    assert len(exp) > 0  # the fixture actually produces pairs
