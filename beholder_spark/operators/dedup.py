@@ -199,6 +199,52 @@ def simhash16(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash
     return simhash(df, id_col, text_col, out_col, bits=16)
 
 
+def incremental_candidate_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Cross-snapshot near-dup candidates: (new_id, index_id) pairs where
+    a NEW document shares an LSH band bucket with an INDEX document — the
+    incremental-crawl dedup a CC pipeline runs per snapshot (new docs
+    against the already-kept corpus), NOT a self-join.
+
+    Scale shape vs the self-join variant: the index side's signatures are
+    computed once per snapshot and persist as a table in production (here
+    recomputed for the oracle); the join is new-bands ⋈ index-bands on
+    (band, bucket) — new×index only, never new×new or index×index, so
+    per-bucket work is |new_b|·|index_b| not (|new_b|+|index_b|)². The
+    same deterministic per-bucket cap bounds boilerplate buckets on BOTH
+    sides. Returns (new_id, index_id) distinct pairs; dropping matched
+    new docs is a semi/anti join downstream.
+    """
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        sh = word_shingles(df, id_col, text_col, shingle_n)
+        bb = lsh_band_buckets(minhash_signatures(sh, id_col, k), id_col, k, bands)
+        if max_bucket_size is not None:
+            w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col))
+            bb = (
+                bb.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_bucket_size)
+                .drop("_rn")
+            )
+        return bb
+
+    new_bb = _bucketed(new_df).select(F.col(id_col).alias("new_id"), "band", "bucket")
+    idx_bb = _bucketed(index_df).select(F.col(id_col).alias("index_id"), "band", "bucket")
+    return (
+        new_bb.join(idx_bb, on=["band", "bucket"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -2003,3 +2003,60 @@ def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.max("stop_ratio").alias("max_stop_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup: new crawl vs existing index
+# ---------------------------------------------------------------------------
+
+
+def _bands_cte(src: str, p: str, k: int = 8, bands: int = 4) -> str:
+    """CTE fragments building LSH band buckets for one corpus `src`
+    (prefix `p` keeps the two sides' CTEs distinct) — same math as
+    _minhash_sql, parameterized by source."""
+    mins = ",\n             ".join(f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(k))
+    rows = k // bands
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM {p}sig".format(
+            b=b, concat=" || ".join(f"h{b * rows + r}" for r in range(rows)), p=p
+        )
+        for b in range(bands)
+    )
+    return f"""
+    {p}sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+           (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)
+    ),
+    {p}sig AS (
+      SELECT doc_id, {mins}
+      FROM {p}sh GROUP BY doc_id
+    ),
+    {p}bands AS (
+      {band_selects}
+    )"""
+
+
+@_register(
+    "dedup_incremental_new_vs_index",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    newdocs AS (SELECT * FROM corpus WHERE doc_id >= 250),
+    idx AS (SELECT * FROM corpus WHERE doc_id < 250),
+    {_bands_cte("newdocs", "n_")},
+    {_bands_cte("idx", "i_")}
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+    FROM n_bands a JOIN i_bands b ON a.band = b.band AND a.bucket = b.bucket
+    """,
+)
+def dedup_incremental_new_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: LSH candidates between the NEW snapshot
+    and the already-kept INDEX (new×index bucket join — never new×new or
+    index×index; index signatures persist as a table in production).
+    The synthetic corpus's near-dup variants (+1M ids) land on the new
+    side and their originals in the index, so real cross-snapshot pairs
+    exist. Oracle reproduces both sides' signatures bit-for-bit."""
+    d = _corpus(spark, sf_dir)
+    index = d.filter(F.col("doc_id") < 250)
+    new = d.filter(F.col("doc_id") >= 250)
+    return dd.incremental_candidate_pairs(new, index, "doc_id", "text", shingle_n=3)
