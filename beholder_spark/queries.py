@@ -2060,3 +2060,35 @@ def dedup_incremental_new_vs_index(spark: SparkSession, sf_dir: str) -> DataFram
     index = d.filter(F.col("doc_id") < 250)
     new = d.filter(F.col("doc_id") >= 250)
     return dd.incremental_candidate_pairs(new, index, "doc_id", "text", shingle_n=3)
+
+
+@_register(
+    "time_between_events",
+    """
+    WITH d AS (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_sec
+    FROM d
+    """,
+)
+def time_between_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gaps per user (lag window) — the rate/heartbeat
+    signal a log pipeline derives per source; first event per user keeps
+    a NULL gap (no silent drop). One shuffle on user_id; the same window
+    partitioning is reusable by running totals / sessionization in the
+    same pass."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("bigint").alias("gap_sec"),
+    )
