@@ -214,6 +214,10 @@ class CompiledPipeline:
 
     transform: "callable"
     sinks: list[dict]  # [{"path_template": str, "partition_fields": [...]}]
+    # the scan a SELF-SOURCING config built on the last invocation (None
+    # when the caller supplied the source) — run_config_pipeline persists
+    # it so K sinks cost one source computation, same as the caller-df path
+    source_df: DataFrame | None = None
 
     def __call__(self, df: DataFrame | None = None, spark: SparkSession | None = None) -> DataFrame:
         return self.transform(df, spark)
@@ -427,6 +431,13 @@ def _collect_sink(
         host, _, port = addr.rpartition(":")
         if not host or not port.isdigit():
             raise ConfigError(f"`to {kind}` needs 'host:port', got {addr!r}")
+        if "payload" not in df.columns:
+            # compile-time check — without it the hardcoded column would
+            # only fail inside executor tasks at send time
+            raise ConfigError(
+                f"`to {kind}` sends the `payload` field, but the flow has no "
+                "`payload` column at this point (was it dropped or renamed?)"
+            )
         ctx["sinks"].append(
             {"kind": kind, "route": route, "df": df, "host": host, "port": int(port)}
         )
@@ -467,6 +478,7 @@ def compile_config(text: str) -> CompiledPipeline:
     """
     cmds = parse_config(text)
     sinks: list[dict] = []
+    compiled = CompiledPipeline(transform=None, sinks=sinks)
 
     def transform(df: DataFrame | None = None, spark: SparkSession | None = None) -> DataFrame:
         sinks.clear()  # fresh capture per invocation (reusable compile)
@@ -476,9 +488,11 @@ def compile_config(text: str) -> CompiledPipeline:
             out = _apply(out, cmd, ctx)
         if out is None:
             raise ConfigError("config has no source: pass a DataFrame or start with `from …`")
+        compiled.source_df = ctx.get("source_df")
         return out
 
-    return CompiledPipeline(transform=transform, sinks=sinks)
+    compiled.transform = transform
+    return compiled
 
 
 def _apply(df: DataFrame | None, cmd: Command, ctx: dict) -> DataFrame:
@@ -487,7 +501,8 @@ def _apply(df: DataFrame | None, cmd: Command, ctx: dict) -> DataFrame:
             # self-sourcing entry: the config's own `from` builds the scan
             if ctx.get("spark") is None:
                 raise ConfigError("self-sourcing config needs spark= to compile `from …`")
-            return _compile_from(ctx["spark"], cmd)
+            ctx["source_df"] = _compile_from(ctx["spark"], cmd)
+            return ctx["source_df"]
         return df  # source selection is the caller's scan (S1/S2 ≡ input table)
     if df is None:
         raise ConfigError(f"`{cmd.name}` before any source: start the config with `from …`")
@@ -572,7 +587,11 @@ def run_config_pipeline(
     compiled = compile_config(config_text)
     if df is None:
         final = compiled(None, spark=spark)  # self-sourcing config
-        src = None
+        # persist the config-built scan so K sinks cost ONE source
+        # computation — the same economics as the caller-df branch below
+        src = compiled.source_df
+        if src is not None and not dry_run:
+            src.persist()
     else:
         df = df.persist() if not dry_run else df
         final = compiled(df)

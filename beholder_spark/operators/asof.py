@@ -53,13 +53,23 @@ def asof_join(
     simultaneous right row matches); multiple RIGHT rows at the same
     (key, ts) are ambiguous — pre-aggregate the right side to one row per
     (key, ts) for deterministic results (the oracle queries do).
+
+    NULL semantics match SQL ASOF JOIN: right rows with a NULL timestamp
+    or NULL key can never match (they are dropped before the union —
+    NULLs sort FIRST under Spark's asc ordering, so without the filter a
+    NULL-ts right row would be carried into every left row of its key),
+    and left rows with NULL keys get no match (SQL equality never
+    matches NULL = NULL).
     """
     keys = list(key_cols)
     packed = F.struct(
         F.col(ts_col).alias(f"{prefix}{ts_col}"),
         *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
     )
-    rt = right.select(*keys, ts_col, packed.alias("_r")).withColumn(
+    matchable = F.col(ts_col).isNotNull()
+    for kc in keys:
+        matchable = matchable & F.col(kc).isNotNull()
+    rt = right.filter(matchable).select(*keys, ts_col, packed.alias("_r")).withColumn(
         "_side", F.lit(0)
     )
     lt = left.withColumn("_side", F.lit(1))
@@ -108,6 +118,10 @@ def interval_join_count(
         .withColumn("_bucket", F.explode(F.sequence(F.col("_rb"), F.col("_rb") + reach)))
         .drop("_rb")
     )
+    # a per-ROW internal id keeps duplicate left rows distinct through the
+    # count aggregate (its value never reaches the output, so partition-
+    # layout dependence is harmless — only row multiplicity matters)
+    lb = lb.withColumn("_liid", F.monotonically_increasing_id())
     joined = lb.join(rb, on=keys + ["_bucket"], how="left")
     in_range = (
         F.col("_rts").isNotNull()
@@ -118,5 +132,5 @@ def interval_join_count(
     return (
         joined.groupBy(*grp)
         .agg(F.sum(F.when(in_range, 1).otherwise(0)).alias(out_col))
-        .drop("_bucket")
+        .drop("_bucket", "_liid")
     )

@@ -75,6 +75,21 @@ def lsh_band_buckets(sig: DataFrame, id_col: str, k: int = DEFAULT_K, bands: int
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def _cap_buckets(bb: DataFrame, id_col: str, max_bucket_size: int | None) -> DataFrame:
+    """Deterministic per-(band, bucket) membership cap (lowest ids kept,
+    row_number ordered by id) — ONE definition shared by the self-join and
+    cross-snapshot candidate generators so the QUALIFY oracle semantics
+    can't desynchronize between them. ``None`` disables."""
+    if max_bucket_size is None:
+        return bb
+    w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col))
+    return (
+        bb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket_size)
+        .drop("_rn")
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -98,14 +113,7 @@ def minhash_candidate_pairs(
     """
     sh = word_shingles(df, id_col, text_col, shingle_n)
     sig = minhash_signatures(sh, id_col, k)
-    bb = lsh_band_buckets(sig, id_col, k, bands)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col))
-        bb = (
-            bb.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_bucket_size)
-            .drop("_rn")
-        )
+    bb = _cap_buckets(lsh_band_buckets(sig, id_col, k, bands), id_col, max_bucket_size)
     a = bb.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = bb.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -227,14 +235,7 @@ def incremental_candidate_pairs(
     def _bucketed(df: DataFrame) -> DataFrame:
         sh = word_shingles(df, id_col, text_col, shingle_n)
         bb = lsh_band_buckets(minhash_signatures(sh, id_col, k), id_col, k, bands)
-        if max_bucket_size is not None:
-            w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col))
-            bb = (
-                bb.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= max_bucket_size)
-                .drop("_rn")
-            )
-        return bb
+        return _cap_buckets(bb, id_col, max_bucket_size)
 
     new_bb = _bucketed(new_df).select(F.col(id_col).alias("new_id"), "band", "bucket")
     idx_bb = _bucketed(index_df).select(F.col(id_col).alias("index_id"), "band", "bucket")
@@ -301,7 +302,14 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
-                return labels.select("node", F.col("label").alias("cluster_id"))
+                # materialize (eager localCheckpoint) so the cached labels
+                # can be released — returning the persisted frame would pin
+                # one cached RDD per call in executor storage forever
+                out = labels.select(
+                    "node", F.col("label").alias("cluster_id")
+                ).localCheckpoint(eager=True)
+                labels.unpersist()
+                return out
             prev_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "

@@ -84,8 +84,14 @@ def drop_repeated_spans(
     span is boilerplate survive with ``out_col = ''`` (never silently
     dropped — quarantine philosophy).
     """
+    import re as _re
+
+    # F.split takes a Java REGEX; sep is a literal separator here (and in
+    # the reassembly's array_join + the DuckDB oracle's string_split), so
+    # escape it — an unescaped '.' or '|' would split on every character
     parts = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "span")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "span"),
     ).withColumn("h", F.md5(F.col("span")))
     hot = (
         parts.groupBy("h")

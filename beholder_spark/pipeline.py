@@ -141,9 +141,11 @@ def prune_spec(spec: list[dict[str, Any]], needed: list[str] | set[str]) -> list
     need = set(needed)
     kept: list[dict[str, Any]] = []
     for st in reversed(spec):
-        rowish = st["op"] in _ROW_OPS or (
-            st["op"] == "enrich" and st.get("how", "left") != "left"
-        )
+        # enrich is ALWAYS row-semantics here: even a left join multiplies
+        # rows when the lookup has duplicate keys, which would change
+        # aggregate results if pruned. (It's a cheap broadcast join — the
+        # expensive prunable stage is the parse UDF, which stays prunable.)
+        rowish = st["op"] in _ROW_OPS or st["op"] == "enrich"
         outs = _stage_outputs(st)
         if not (rowish or outs & need):
             continue  # pruned: contributes no needed column, drops no row

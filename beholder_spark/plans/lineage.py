@@ -146,7 +146,11 @@ def run_stage(
     crash-safe: a failure anywhere before the manifest append leaves only
     an invisible orphan dir (see module docstring).
     """
-    run_id = uuid.uuid4().hex[:12]
+    # letter prefix so Hive partition-column TYPE INFERENCE can never fire:
+    # an all-digit hex id (or digits+'e' scientific shape) would be read
+    # back as a number and normalized (leading zeros dropped), breaking the
+    # manifest's string equality and silently hiding committed rows
+    run_id = "r" + uuid.uuid4().hex[:12]
     out_path = os.path.join(root, stage)
     pending = pending_partitions(spark, root, stage, df, partition_col)
 

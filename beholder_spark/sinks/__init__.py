@@ -82,7 +82,13 @@ def send_partition_to_udp(host: str, port: int, line_col: str, max_bytes: int = 
             for r in rows:
                 v = r[line_col]
                 if v is not None:
-                    sock.sendto(str(v).encode("utf-8")[:max_bytes], (host, port))
+                    data = str(v).encode("utf-8")
+                    if len(data) > max_bytes:
+                        # re-encode through a lossy decode so the cut never
+                        # lands mid-UTF-8-sequence (an undecodable datagram
+                        # would poison the receiver, not just lose a tail)
+                        data = data[:max_bytes].decode("utf-8", "ignore").encode("utf-8")
+                    sock.sendto(data, (host, port))
         finally:
             sock.close()
 

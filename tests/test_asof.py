@@ -52,6 +52,21 @@ def test_asof_join_null_payload_stays_atomic(spark):
     assert row["asof_v"] is None
 
 
+def test_asof_join_null_ts_and_key_never_match(spark):
+    """SQL ASOF semantics: right rows with NULL ts/key can never match
+    (NULLs sort first under asc — without the filter they'd be carried
+    into every left row of the key), and NULL-key left rows get no match."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (None, _ts(10), "p2")], "k int, ts timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 5.0), (None, _ts(5), 7.0)], "k int, ts timestamp, v double"
+    )
+    got = {r["name"]: (r["asof_ts"], r["asof_v"]) for r in
+           asof.asof_join(left, right, ["k"], "ts", ["v"]).collect()}
+    assert got == {"p1": (None, None), "p2": (None, None)}
+
+
 # ---------------------------------------------------- interval_join_count
 
 
@@ -95,6 +110,18 @@ def test_interval_join_matches_bruteforce(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_interval_join_keeps_duplicate_left_rows(spark):
+    """Two IDENTICAL left rows must each produce an output row (per-row
+    contract), not collapse into one with a doubled count."""
+    left = spark.createDataFrame(
+        [(1, _ts(100)), (1, _ts(100))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame([(1, _ts(50))], "k int, ts timestamp")
+    out = asof.interval_join_count(left, right, ["k"], "ts", window_seconds=200).collect()
+    assert len(out) == 2
+    assert [r["n_in_window"] for r in out] == [1, 1]
 
 
 # ------------------------------------------------------ connected components

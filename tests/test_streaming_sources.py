@@ -236,3 +236,24 @@ def test_socket_sink_sends_all_lines(spark, tmp_path):
     t.join(15)
 
     assert sorted(lines_box) == sorted(expected)
+
+
+def test_udp_sender_truncates_on_codepoint_boundary():
+    """Oversize rows are cut at the datagram bound WITHOUT splitting a
+    multi-byte UTF-8 sequence (an undecodable datagram would poison the
+    receiver)."""
+    import socket
+
+    from beholder_spark.sinks import send_partition_to_udp
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(5)
+    port = sock.getsockname()[1]
+
+    send = send_partition_to_udp("127.0.0.1", port, "payload", max_bytes=5)
+    send([{"payload": "ééééé"}])  # 2 bytes each; naive cut at 5 splits one
+    data, _ = sock.recvfrom(65536)
+    sock.close()
+    assert len(data) <= 5
+    assert data.decode("utf-8") == "éé"  # decodes cleanly, whole codepoints
