@@ -2092,3 +2092,43 @@ def time_between_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
         ).cast("bigint").alias("gap_sec"),
     )
+
+
+@_register(
+    "adaptive_length_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    thr AS (
+      SELECT lang, quantile_cont(n_tokens, 0.1) AS p10
+      FROM t GROUP BY lang
+    )
+    SELECT t.lang, count(*) AS n_kept,
+           CAST(sum(t.n_tokens) AS BIGINT) AS kept_tokens,
+           round(max(thr.p10), 4) AS p10
+    FROM t JOIN thr USING (lang)
+    WHERE t.n_tokens >= thr.p10
+    GROUP BY t.lang
+    """,
+)
+def adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE adaptive quality thresholds — fixed length cutoffs
+    over-prune low-resource languages, so the cutoff is each language's
+    own exact p10 (two-pass: tiny per-lang aggregate → broadcast back →
+    filter; the second pass fuses with any downstream curation stage).
+    Exact interpolated percentile on both engines → bit-identical
+    thresholds, deterministic kept-set."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    )
+    thr = d.groupBy("lang").agg(F.percentile("n_tokens", 0.1).alias("p10"))
+    kept = d.join(F.broadcast(thr), "lang").filter(F.col("n_tokens") >= F.col("p10"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        F.round(F.max("p10"), 4).alias("p10"),
+    )
