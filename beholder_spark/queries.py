@@ -1151,10 +1151,15 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(dups)
 
 
+def _minhash_lane(j: int) -> str:
+    """One minhash lane = an 8-hex-char slice of a salted md5 digest —
+    mirrors operators/dedup.py:minhash_signatures (4 lanes per digest)."""
+    salt, lane = j // 4, j % 4
+    return f"min(substring(md5('{salt}:' || shingle), {lane * 8 + 1}, 8)) AS h{j}"
+
+
 def _minhash_sql(k: int = 8, bands: int = 4, cap: int | None = None) -> str:
-    mins = ",\n             ".join(
-        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(k)
-    )
+    mins = ",\n             ".join(_minhash_lane(j) for j in range(k))
     rows = k // bands
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
@@ -2014,7 +2019,7 @@ def _bands_cte(src: str, p: str, k: int = 8, bands: int = 4) -> str:
     """CTE fragments building LSH band buckets for one corpus `src`
     (prefix `p` keeps the two sides' CTEs distinct) — same math as
     _minhash_sql, parameterized by source."""
-    mins = ",\n             ".join(f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(k))
+    mins = ",\n             ".join(_minhash_lane(j) for j in range(k))
     rows = k // bands
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM {p}sig".format(
