@@ -222,6 +222,51 @@ def simhash16(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash
     return simhash(df, id_col, text_col, out_col, bits=16)
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing ≥ ``min_shared``
+    MOSS winnowing fingerprints — the COPIED-SPAN detector (a paragraph
+    lifted into an otherwise-different page), which whole-document
+    fingerprints miss entirely and whole-document minhash dilutes.
+
+    Same scale discipline as the shingle generators: the join key is the
+    32-byte fingerprint hash (never text), fingerprints hotter than
+    ``max_fp_freq`` documents are dropped via broadcast anti-join
+    (boilerplate spans carry no overlap signal worth O(m²) join rows),
+    and ``shared_fp`` is an exact count over the filtered space — the
+    oracle reproduces pairs and counts bit-for-bit.
+    """
+    from beholder_spark.operators.textstats import with_winnow_fingerprints
+
+    fps = with_winnow_fingerprints(
+        df.select(id_col, text_col), text_col, k, window
+    ).select(F.col(id_col), F.explode("winnow").alias("fp"))
+    if max_fp_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+
+
 def incremental_candidate_pairs(
     new_df: DataFrame,
     index_df: DataFrame,

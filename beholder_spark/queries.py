@@ -2137,3 +2137,38 @@ def adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
         F.round(F.max("p10"), 4).alias("p10"),
     )
+
+
+@_register(
+    "dedup_winnow_overlap",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                            i -> md5(array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(grams) - 3, 0) + 1),
+                                          j -> list_min(list_slice(grams, j, j + 3)))) AS fps
+      FROM g
+    ),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fp
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs via shared MOSS winnowing fingerprints — the
+    copied-span detector (dedup.winnow_overlap_pairs): a lifted paragraph
+    links two otherwise-different pages. Join key = 32-byte fingerprint;
+    hot fingerprints are cap-filtered (no-op on this corpus — same
+    discipline as the LSH bucket cap); exact shared counts, oracle-exact."""
+    return dd.winnow_overlap_pairs(_corpus(spark, sf_dir), "doc_id", "text")
