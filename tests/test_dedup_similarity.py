@@ -186,3 +186,31 @@ def test_ann_recall_floors_vs_exact(spark, sf_dir):
     ivf = {(r.qid, r.nid) for r in similarity.ivf_cosine_topk(emb, "vec_id", "embedding", q, k=k).collect()}
     ivf_recall = len(ivf & exact) / len(exact)
     assert ivf_recall >= 0.6, f"IVF recall@5 collapsed to {ivf_recall}"
+
+
+def test_trained_ivf_codebook_beats_untrained(spark, sf_dir):
+    """Spherical k-means codebook (deterministic md5 seeding, 5 Lloyd's
+    rounds) lifts IVF recall over the untrained stand-in at the SAME
+    cell/probe config. Everything is deterministic (no rand anywhere),
+    so these are exact equalities every run, asserted with margin."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q, k = 20, 5
+    exact = {(r.qid, r.nid) for r in similarity.cosine_topk(emb, "vec_id", "embedding", q, k=k).collect()}
+    cents = similarity.train_kmeans_centroids(emb, "vec_id", "embedding", n_centroids=16, n_iter=5)
+    assert len(cents) == 16 and len(cents[0]) == 64
+
+    def recall(res):
+        got = {(r.qid, r.nid) for r in res.collect()}
+        return len(got & exact) / len(exact)
+
+    trained = recall(similarity.ivf_cosine_topk(
+        emb, "vec_id", "embedding", q, k=k, n_centroids=16, n_probe=4, centroids=cents))
+    untrained = recall(similarity.ivf_cosine_topk(
+        emb, "vec_id", "embedding", q, k=k, n_centroids=16, n_probe=4))
+    # measured: trained 0.53 vs untrained 0.42 (probe fraction 4/16)
+    assert trained >= 0.5
+    assert trained > untrained
+    # half the cells probed recovers most of the exact set: measured 0.79
+    trained_p8 = recall(similarity.ivf_cosine_topk(
+        emb, "vec_id", "embedding", q, k=k, n_centroids=16, n_probe=8, centroids=cents))
+    assert trained_p8 >= 0.75
