@@ -94,6 +94,41 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "detected
     return df.drop("_toks", *[f"_s_{la}" for la in langs])
 
 
+# Literal-character ranges (not \uXXXX escapes) so the SAME pattern text
+# parses identically in Java (Spark) and RE2 (DuckDB) regex dialects.
+SCRIPT_RES = {
+    "latin": "[A-Za-z]",
+    "cjk": "[一-龥]",
+    "cyrillic": "[а-яА-ЯёЁ]",
+    "digit": "[0-9]",
+}
+
+
+def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script character profile + dominant script per document —
+    the mixed-script / wrong-lang-tag signal a multilingual crawl
+    pipeline screens on (a 'de'-tagged page that is 80 % CJK is
+    mislabeled; heavy digit share marks tables/serial dumps).
+
+    Adds ``n_<script>`` counts and ``dominant_script`` (ties break by the
+    fixed latin→cjk→cyrillic→digit order on >=). Pure column expressions,
+    zero shuffle; patterns shared verbatim with the oracle.
+    """
+    for name, pat in SCRIPT_RES.items():
+        df = df.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    names = list(SCRIPT_RES)
+    expr = None
+    for name in reversed(names):
+        cond = None
+        for other in names:
+            if other == name:
+                continue
+            c = F.col(f"n_{name}") >= F.col(f"n_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(name)) if expr is None else F.when(cond, F.lit(name)).otherwise(expr)
+    return df.withColumn("dominant_script", expr)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
 

@@ -2172,3 +2172,55 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot fingerprints are cap-filtered (no-op on this corpus — same
     discipline as the LSH bucket cap); exact shared counts, oracle-exact."""
     return dd.winnow_overlap_pairs(_corpus(spark, sf_dir), "doc_id", "text")
+
+
+@_register(
+    "textstats_script_profile",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             text || CASE WHEN lang = 'zh' THEN ' 数据处理系统分析模型训练语料清洗'
+                          WHEN lang = 'de' THEN ' Straße äöü Übung'
+                          WHEN lang = 'fr' THEN ' café déjà élève'
+                          ELSE '' END AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+             len(regexp_extract_all(t, '[一-龥]')) AS n_cjk,
+             len(regexp_extract_all(t, '[а-яА-ЯёЁ]')) AS n_cyrillic,
+             len(regexp_extract_all(t, '[0-9]')) AS n_digit
+      FROM synth
+    )
+    SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_digit,
+           CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic AND n_latin >= n_digit THEN 'latin'
+                WHEN n_cjk >= n_latin AND n_cjk >= n_cyrillic AND n_cjk >= n_digit THEN 'cjk'
+                WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_cjk AND n_cyrillic >= n_digit THEN 'cyrillic'
+                ELSE 'digit' END AS dominant_script
+    FROM c
+    """,
+)
+def textstats_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script character profile (textstats.with_script_profile):
+    mixed-script and wrong-lang-tag screening. Script content is
+    synthesised deterministically per lang on both engines (the corpus is
+    ASCII); the literal-character-range regexes are shared verbatim
+    (Java∩RE2). Zero shuffle — fuses into the scan projection."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("lang") == "zh", F.lit(" 数据处理系统分析模型训练语料清洗"))
+            .when(F.col("lang") == "de", F.lit(" Straße äöü Übung"))
+            .when(F.col("lang") == "fr", F.lit(" café déjà élève"))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = textstats.with_script_profile(synth, "t")
+    return out.select(
+        "doc_id",
+        *[F.col(f"n_{s}").cast("bigint").alias(f"n_{s}") for s in ("latin", "cjk", "cyrillic", "digit")],
+        "dominant_script",
+    )
