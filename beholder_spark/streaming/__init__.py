@@ -117,6 +117,41 @@ def session_windows(
     )
 
 
+def write_manifested_stream(
+    stream: DataFrame,
+    out_root: str,
+    stage: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """EXACTLY-ONCE streaming sink: foreachBatch + the manifest machinery
+    of :mod:`beholder_spark.plans.lineage`, keyed by micro-batch id.
+
+    The streaming checkpoint already dedups batches — until the
+    checkpoint is lost or the sink dir is reused. This sink survives
+    both: each micro-batch is a manifested stage partition
+    (``_batch=<id>``), so a REPLAYED batch (checkpoint deleted, job
+    rewound, foreachBatch retried after a partial write) is skipped by
+    the manifest anti-join instead of appended twice, and a batch that
+    crashed mid-write leaves only an invisible orphan run dir. This is
+    the streaming twin of the batch pipeline's resume story — one
+    bookkeeping mechanism for both engines.
+    """
+    from beholder_spark.plans import lineage as ln
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn("_batch", F.lit(str(batch_id)))
+        ln.run_stage(b.sparkSession, out_root, stage, b, partition_col="_batch")
+
+    w = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -186,3 +186,33 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     exp = batch.collect()
     assert sorted((r[0], r[1]) for r in got) == sorted((r[0], r[1]) for r in exp)
     assert len(exp) > 0  # the fixture actually produces pairs
+
+
+def test_manifested_stream_sink_idempotent_under_replay(spark, tmp_path):
+    """The manifested streaming sink stays exactly-once even when the
+    STREAMING CHECKPOINT IS DELETED (full batch replay): replayed batches
+    hit the manifest anti-join and append nothing."""
+    import shutil
+
+    from beholder_spark import streaming as st
+    from beholder_spark.plans import lineage as ln
+
+    src_dir = str(tmp_path / "src")
+    spark.range(200).selectExpr("id", "CAST(id % 7 AS STRING) AS k").write.parquet(src_dir)
+    out_root = str(tmp_path / "mstream")
+    ckpt = str(tmp_path / "ckpt_m")
+
+    stream = spark.readStream.schema("id long, k string").parquet(src_dir)
+    q = st.write_manifested_stream(stream, out_root, "events", ckpt)
+    q.awaitTermination(120)
+    first = ln.read_stage(spark, out_root, "events", "_batch")
+    assert first.count() == 200
+
+    # nuke the streaming checkpoint: Spark replays EVERY batch
+    shutil.rmtree(ckpt)
+    stream2 = spark.readStream.schema("id long, k string").parquet(src_dir)
+    q2 = st.write_manifested_stream(stream2, out_root, "events", ckpt)
+    q2.awaitTermination(120)
+    again = ln.read_stage(spark, out_root, "events", "_batch")
+    assert again.count() == 200  # no duplicates despite full replay
+    assert again.select("id").distinct().count() == 200
