@@ -636,3 +636,42 @@ def run_config_pipeline(
     finally:
         if src is not None and not dry_run:
             src.unpersist()
+
+
+def run_config_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    config_text: str,
+    out_root: str,
+    checkpoint_path: str,
+    stage: str = "config_sink",
+    available_now: bool = True,
+):
+    """Run a Beholder config as a LONG-RUNNING STREAM — the daemon
+    execution mode the reference actually ships as. The SAME compiled
+    command tree transforms the streaming DataFrame (every stage is a
+    column expression or when()-chain — mode-agnostic by construction),
+    and the result lands through the EXACTLY-ONCE manifested sink
+    (:func:`beholder_spark.streaming.write_manifested_stream`), so a
+    replayed micro-batch never duplicates rows even across
+    streaming-checkpoint loss.
+
+    Restrictions in streaming mode (checked, not silent): intermediate
+    `to …` sinks inside the config are rejected — Structured Streaming
+    executes ONE sink per query; fan-out belongs in a downstream batch
+    read of the manifested table or a second streaming query. Returns the
+    started StreamingQuery.
+    """
+    from beholder_spark.streaming import write_manifested_stream
+
+    compiled = compile_config(config_text)
+    final = compiled(stream_df)
+    if compiled.sinks:
+        raise ConfigError(
+            "streaming mode runs the config's FINAL frame through the "
+            "manifested sink; remove `to …` commands from the config "
+            f"(found {len(compiled.sinks)})"
+        )
+    return write_manifested_stream(
+        final, out_root, stage, checkpoint_path, available_now=available_now
+    )

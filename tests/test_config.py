@@ -399,3 +399,32 @@ def test_config_to_tcp_bad_address_rejected(spark):
             "/tmp/unused",
             dry_run=True,
         )
+
+
+def test_config_streaming_daemon_mode(spark, tmp_path):
+    """A reference user's config runs as a STREAM (daemon parity): same
+    command tree, streaming input, manifested exactly-once sink — result
+    rows equal the batch run of the identical config."""
+    from beholder_spark.plans import lineage as ln
+
+    cfg = "parse syslog keep-unparsed; set $tag '{$host}/{$program}'; keep $tag $severity $parse_ok;"
+    lines = [f"<{(i * 5) % 64}>1 2026-02-01T00:00:0{i % 10}Z host{i % 3} prog{i % 2} - - - m{i}" for i in range(60)]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame([(ln_,) for ln_ in lines], ["payload"]).write.parquet(src_dir)
+
+    stream = spark.readStream.schema("payload string").parquet(src_dir)
+    q = C.run_config_stream(
+        spark, stream, cfg, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = ln.read_stage(spark, str(tmp_path / "out"), "config_sink", "_batch")
+
+    batch = C.compile_config(cfg)(spark.read.parquet(src_dir))
+    assert sorted(got.drop("_batch").collect()) == sorted(batch.collect())
+    assert got.count() == 60
+
+    # a config with an intermediate sink is rejected up front
+    with pytest.raises(C.ConfigError, match="manifested sink"):
+        C.run_config_stream(
+            spark, stream, "to file 'x';", str(tmp_path / "out2"), str(tmp_path / "ck2")
+        )
