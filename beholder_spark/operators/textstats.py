@@ -129,6 +129,41 @@ def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("dominant_script", expr)
 
 
+def rare_token_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Rare-token (OOV-ish) quality signal: per document, how many of its
+    DISTINCT tokens appear in ≤ ``max_doc_freq`` documents corpus-wide —
+    high ratios mark gibberish, codes/serials, and OCR damage; nearly-zero
+    ratios mark template text. The corpus-relative twin of the
+    document-local repetition stats.
+
+    Two-pass shape: token→document-frequency aggregate (shuffles distinct
+    (doc, token) pairs once), then a frequency join back on the token and
+    one per-doc count — all integer arithmetic, no float accumulation
+    order to disagree on, so the oracle matches exactly. At 100 TB both
+    passes key on the token string; the df table is Zipf-skewed but the
+    join is equi-keyed, so AQE skew splitting applies.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.countDistinct(id_col).alias("tok_df"))
+    marked = toks.join(freq, "tok")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum(F.when(F.col("tok_df") <= max_doc_freq, 1).otherwise(0)).alias("n_rare"),
+        F.round(
+            F.sum(F.when(F.col("tok_df") <= max_doc_freq, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("rare_ratio"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
 

@@ -2224,3 +2224,30 @@ def textstats_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"n_{s}").cast("bigint").alias(f"n_{s}") for s in ("latin", "cjk", "cyrillic", "digit")],
         "dominant_script",
     )
+
+
+@_register(
+    "textstats_rare_tokens",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (
+      SELECT tok, count(DISTINCT doc_id) AS tok_df FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           count(*) AS n_distinct_tokens,
+           CAST(sum(CASE WHEN f.tok_df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           round(sum(CASE WHEN f.tok_df <= 2 THEN 1 ELSE 0 END) / count(*), 4) AS rare_ratio
+    FROM toks t JOIN freq f USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def textstats_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token (OOV-ish) ratio per document — corpus-relative
+    gibberish/OCR-damage signal (textstats.rare_token_stats): distinct
+    tokens appearing in ≤2 documents corpus-wide. Integer-only
+    arithmetic (no float accumulation order), oracle-exact."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return textstats.rare_token_stats(d, "doc_id", "text")
