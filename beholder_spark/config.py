@@ -429,8 +429,15 @@ def _collect_sink(
             raise ConfigError(f"`to {kind}` needs a 'host:port' address")
         addr = cmd.args[1].value
         host, _, port = addr.rpartition(":")
-        if not host or not port.isdigit():
-            raise ConfigError(f"`to {kind}` needs 'host:port', got {addr!r}")
+        if host.startswith("[") and host.endswith("]"):
+            host = host[1:-1]  # bracketed IPv6 literal: [::1]:514
+        elif ":" in host:
+            raise ConfigError(
+                f"`to {kind}`: ambiguous address {addr!r} — bracket IPv6 "
+                "literals as '[addr]:port'"
+            )
+        if not host or not port.isdigit() or not (0 < int(port) <= 65535):
+            raise ConfigError(f"`to {kind}` needs 'host:port' (port 1–65535), got {addr!r}")
         if "payload" not in df.columns:
             # compile-time check — without it the hardcoded column would
             # only fail inside executor tasks at send time

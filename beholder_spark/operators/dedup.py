@@ -329,10 +329,11 @@ def connected_components(
     min-aggregate on (node) — shuffle keys are ids, payload one long.
     ``localCheckpoint`` every few rounds truncates the growing lineage so
     round N's plan doesn't replay rounds 1..N-1. Convergence detection is
-    a single scalar aggregate (labels only ever DECREASE under min, so
-    sum(label) is strictly monotone until fixpoint — an unchanged sum IS
-    convergence), not a join of old vs new labels: one cheap job per
-    round instead of two, never a collect of data.
+    exact and TYPE-AGNOSTIC (works for string ids, not just numeric):
+    each round's min-aggregate also carries the node's previous label, so
+    "number of nodes whose label changed" is one scalar count on the
+    already-shuffled aggregate — never a sum that would be NULL for
+    non-numeric ids, never a second join, never a collect of data.
 
     Raises RuntimeError if not converged within ``max_iter`` — a diameter
     that large means the edge list is not near-dup-shaped (no silent
@@ -341,36 +342,45 @@ def connected_components(
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.distinct().persist()
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+    cached = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).persist()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    labels = cached
     try:
         for i in range(max_iter):
             msgs = edges.join(
                 labels.select(F.col("node").alias("v"), "label"), "v"
-            ).select(F.col("u").alias("node"), "label")
+            ).select(
+                F.col("u").alias("node"),
+                F.col("label").alias("cand"),
+                F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
+            )
+            own = labels.select(
+                "node", F.col("label").alias("cand"), F.col("label").alias("old")
+            )
             new_labels = (
-                labels.unionByName(msgs)
+                own.unionByName(msgs)
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                # max(old) ignores the NULLs from msgs rows; every node has
+                # exactly one own-row, so max(old) IS the previous label
+                .agg(F.min("cand").alias("label"), F.max("old").alias("_old"))
             )
             if i % 3 == 2:
                 new_labels = new_labels.localCheckpoint(eager=False)
             new_labels = new_labels.persist()
-            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-            labels.unpersist()
-            labels = new_labels
-            if new_sum == prev_sum:
+            n_changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+            cached.unpersist()
+            cached = new_labels
+            labels = new_labels.select("node", "label")
+            if n_changed == 0:
                 # materialize (eager localCheckpoint) so the cached labels
                 # can be released — returning the persisted frame would pin
                 # one cached RDD per call in executor storage forever
                 out = labels.select(
                     "node", F.col("label").alias("cluster_id")
                 ).localCheckpoint(eager=True)
-                labels.unpersist()
+                cached.unpersist()
                 return out
-            prev_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "edge list has a component with diameter > max_iter"

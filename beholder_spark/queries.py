@@ -1375,6 +1375,92 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_neardup_sql(
+    threshold: float = 0.42,
+    n_tables: int = 16,
+    ppt: int = 4,
+    dim: int = 64,
+    cap: int | None = None,
+) -> str:
+    """DuckDB twin of similarity.lsh_near_dup_pairs INCLUDING the LSH
+    bucketing: integer-entry planes are re-derived from the same md5
+    nibbles (`2*nibble−15`), so sign bits — hence buckets, candidates,
+    and the exact rerank — reproduce bit-for-bit."""
+    n_planes = n_tables * ppt
+    cap_q = (
+        f"QUALIFY row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) <= {cap}"
+        if cap is not None
+        else ""
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    expl AS (
+      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) - 1 AS i FROM qv
+    ),
+    planes AS (
+      SELECT p.p, i.i,
+             2 * (strpos('0123456789abcdef',
+                         substr(md5('iplane:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i // 32 AS VARCHAR)),
+                                CAST(i.i % 32 AS INT) + 1, 1)) - 1) - 15 AS v
+      FROM (SELECT range AS p FROM range({n_planes})) p,
+           (SELECT range AS i FROM range({dim})) i
+    ),
+    bits AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN sum(e.x * pl.v) > 0 THEN 1 ELSE 0 END AS bit
+      FROM expl e JOIN planes pl ON pl.i = e.i
+      GROUP BY e.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, CAST(p // {ppt} AS INT) AS t,
+             CAST(sum(bit * (1 << CAST(p % {ppt} AS INT))) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, p // {ppt}
+    ),
+    capped AS (
+      SELECT vec_id, t, bucket FROM buckets
+      {cap_q}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    norms AS (SELECT vec_id, sum(x * x) AS n2 FROM expl GROUP BY vec_id),
+    dots AS (
+      SELECT c.doc_a, c.doc_b, sum(ea.x * eb.x) AS dot
+      FROM cand c
+      JOIN expl ea ON ea.vec_id = c.doc_a
+      JOIN expl eb ON eb.vec_id = c.doc_b AND eb.i = ea.i
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT doc_a, doc_b,
+             round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+      FROM dots JOIN norms na ON na.vec_id = doc_a JOIN norms nb ON nb.vec_id = doc_b
+    ) WHERE cosine >= {threshold}
+    """
+
+
+@_register("dedup_lsh_near_dup", _lsh_neardup_sql(cap=40))
+def dedup_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE path for embedding near-dup: sign-LSH bucket SELF-join →
+    capped candidates → exact quantized-int rerank ≥ threshold. Unlike
+    typical ANN this is FULLY oracle-exact — integer-plane buckets
+    reproduce in DuckDB (similarity.lsh_near_dup_pairs). Replaces the
+    O(n²) dedup_embedding_cosine at corpus scale (that one stays
+    registered as the small-scale exact twin / recall oracle)."""
+    return similarity.lsh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.42,
+        max_bucket_size=40,
+    )
+
+
 @_register("embed_ivf_cosine_topk", None)  # approximate: rows-only check
 def embed_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (deterministic pseudo-centroids, n_probe=2 cells,

@@ -125,22 +125,37 @@ def write_manifested_stream(
     available_now: bool = True,
 ):
     """EXACTLY-ONCE streaming sink: foreachBatch + the manifest machinery
-    of :mod:`beholder_spark.plans.lineage`, keyed by micro-batch id.
+    of :mod:`beholder_spark.plans.lineage`, keyed by batch CONTENT.
 
     The streaming checkpoint already dedups batches — until the
     checkpoint is lost or the sink dir is reused. This sink survives
-    both: each micro-batch is a manifested stage partition
-    (``_batch=<id>``), so a REPLAYED batch (checkpoint deleted, job
-    rewound, foreachBatch retried after a partial write) is skipped by
-    the manifest anti-join instead of appended twice, and a batch that
+    both. Each row's manifest partition is ``_batch=f<md5(source file)>``
+    (``input_file_name()``), NOT the micro-batch id: after checkpoint
+    loss batch ids restart at 0, and if the source GREW since the
+    original run the replayed batch 0 holds old+new files — a
+    batch-id-keyed manifest would skip it wholesale and silently drop
+    the new rows. File-keyed partitions skip exactly the already-
+    manifested files and append exactly the new ones, and a batch that
     crashed mid-write leaves only an invisible orphan run dir. This is
     the streaming twin of the batch pipeline's resume story — one
     bookkeeping mechanism for both engines.
+
+    Fallback: when the batch plan erases file provenance (aggregated
+    streams, non-file sources — ``input_file_name()`` returns ''), rows
+    key on ``_batch=b<id>`` and the guarantee degrades to the original
+    one: checkpoint loss is only replay-safe while the source is
+    unchanged.
     """
     from beholder_spark.plans import lineage as ln
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.withColumn("_batch", F.lit(str(batch_id)))
+        src = F.input_file_name()
+        b = batch_df.withColumn(
+            "_batch",
+            F.when(src == "", F.lit(f"b{batch_id}")).otherwise(
+                F.concat(F.lit("f"), F.md5(src))
+            ),
+        )
         ln.run_stage(b.sparkSession, out_root, stage, b, partition_col="_batch")
 
     w = (

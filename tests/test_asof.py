@@ -139,6 +139,21 @@ def test_connected_components_basic(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_string_ids(spark):
+    """Regression (ADVICE r2): convergence detection must be type-agnostic.
+    The old sum(label) check was NULL for string ids and returned after ONE
+    round — a diameter-2 chain exposes the partial clustering."""
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
 def test_connected_components_diameter_error(spark):
     # a path graph of length > max_iter cannot converge
     chain = [(i, i + 1) for i in range(6)]

@@ -391,14 +391,23 @@ def test_config_to_udp_sink(spark, tmp_path):
 
 
 def test_config_to_tcp_bad_address_rejected(spark):
+    df = spark.createDataFrame([("x",)], ["payload"])
+
+    def compile_addr(cfg):
+        return C.run_config_pipeline(spark, df, cfg, "/tmp/unused", dry_run=True)
+
     with pytest.raises(C.ConfigError, match="host:port"):
-        C.run_config_pipeline(
-            spark,
-            spark.createDataFrame([("x",)], ["payload"]),
-            "to tcp 'nope';",
-            "/tmp/unused",
-            dry_run=True,
-        )
+        compile_addr("to tcp 'nope';")
+    # regression (ADVICE r2): out-of-range port and raw-IPv6 ambiguity must
+    # fail at COMPILE time, not inside executor send tasks
+    with pytest.raises(C.ConfigError, match="1–65535"):
+        compile_addr("to tcp 'host:99999';")
+    with pytest.raises(C.ConfigError, match="1–65535"):
+        compile_addr("to udp 'host:0';")
+    with pytest.raises(C.ConfigError, match="bracket IPv6"):
+        compile_addr("to tcp '::1:514';")
+    # bracketed IPv6 literal is accepted
+    compile_addr("to tcp '[::1]:514';")
 
 
 def test_config_streaming_daemon_mode(spark, tmp_path):

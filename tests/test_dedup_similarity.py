@@ -188,6 +188,38 @@ def test_ann_recall_floors_vs_exact(spark, sf_dir):
     assert ivf_recall >= 0.6, f"IVF recall@5 collapsed to {ivf_recall}"
 
 
+def test_lsh_near_dup_pairs_precision_and_recall(spark, sf_dir):
+    """The scale-safe near-dup path (LSH bucket self-join + exact rerank)
+    vs the O(n²) exact twin: precision must be EXACTLY 1.0 (the rerank is
+    exact — every emitted pair truly clears the threshold) and recall
+    carries an asserted floor (measured on this fixture; deterministic
+    buckets, so drift means a code change). The cap must also bound bucket
+    membership without breaking the subset property."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    thr = 0.42
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in similarity.cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=thr).collect()
+    }
+    assert len(exact) > 0
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in similarity.lsh_near_dup_pairs(emb, "vec_id", "embedding", threshold=thr).collect()
+    }
+    assert got <= exact, "rerank is exact — a non-subset pair means broken arithmetic"
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, f"LSH near-dup recall collapsed to {recall}"
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in similarity.lsh_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=thr, max_bucket_size=10
+        ).collect()
+    }
+    assert capped <= exact
+    assert len(capped) <= len(got)  # the cap only ever removes candidates
+
+
 def test_trained_ivf_codebook_beats_untrained(spark, sf_dir):
     """Spherical k-means codebook (deterministic md5 seeding, 5 Lloyd's
     rounds) lifts IVF recall over the untrained stand-in at the SAME

@@ -216,3 +216,34 @@ def test_manifested_stream_sink_idempotent_under_replay(spark, tmp_path):
     again = ln.read_stage(spark, out_root, "events", "_batch")
     assert again.count() == 200  # no duplicates despite full replay
     assert again.select("id").distinct().count() == 200
+
+
+def test_manifested_stream_checkpoint_loss_with_grown_source(spark, tmp_path):
+    """Regression (ADVICE r2): after checkpoint loss, batch ids restart at
+    0 — a batch-id-keyed manifest would skip the replayed batch 0 wholesale
+    and silently DROP rows from files added since the original run. The
+    file-content-keyed manifest must append exactly the new file's rows."""
+    import shutil
+
+    from beholder_spark import streaming as st
+    from beholder_spark.plans import lineage as ln
+
+    src_dir = str(tmp_path / "src")
+    spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS k").write.parquet(src_dir)
+    out_root = str(tmp_path / "mstream")
+    ckpt = str(tmp_path / "ckpt_m")
+
+    stream = spark.readStream.schema("id long, k string").parquet(src_dir)
+    st.write_manifested_stream(stream, out_root, "events", ckpt).awaitTermination(120)
+    assert ln.read_stage(spark, out_root, "events", "_batch").count() == 100
+
+    # checkpoint lost AND the source grew: replayed batch 0 = old+new files
+    shutil.rmtree(ckpt)
+    spark.range(100, 150).selectExpr("id", "CAST(id % 7 AS STRING) AS k").write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream2 = spark.readStream.schema("id long, k string").parquet(src_dir)
+    st.write_manifested_stream(stream2, out_root, "events", ckpt).awaitTermination(120)
+    again = ln.read_stage(spark, out_root, "events", "_batch")
+    assert again.count() == 150  # new rows appended, old rows not duplicated
+    assert again.select("id").distinct().count() == 150
