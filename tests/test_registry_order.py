@@ -1,0 +1,68 @@
+"""Driver-sweep registry-order contract (VERDICT r2 item 1).
+
+The driver's correctness sweep covers the first 50 entries of
+``queries()`` in dict order.  These tests pin that the first 50 registered
+queries are all oracle-exact and include every round-2/3 flagship operator
+the round-2 verdict flagged as missing driver coverage, while keeping at
+least one representative of each round-1 operator family.
+"""
+
+from __future__ import annotations
+
+from beholder_spark.queries import _SWEEP_FIRST, QUERIES
+
+REQUIRED_FLAGSHIPS = [
+    "asof_purchase_attribution",
+    "interval_clicks_before_purchase",
+    "dedup_dup_clusters",
+    "dedup_incremental_new_vs_index",
+    "webtext_span_dedup",
+    "webtext_pii_redact",
+    "curation_pipeline_counts",
+    "adaptive_length_filter",
+    "multimodal_decode_meta",
+]
+
+FAMILY_REPS = [
+    "flagship_stats_by_type_hour",  # stats counts + time bucketing
+    "parse_syslog_roundtrip",  # parse family
+    "route_switch_lang",  # routing family
+    "config_switch_routed_counts",  # config front end
+    "set_replace_keep_drop",  # field-rewrite family
+    "enrich_broadcast_geo",  # lookup enrich
+    "anti_orders_without_lineitems",  # semi/anti resume
+    "union_sources_counts",  # union
+    "distinct_users_by_type",  # distinct counts
+    "topk_source_per_lang",  # top-k
+    "dedup_latest_event_per_user",  # dedup-latest
+    "grouping_sets_lang_source",  # rollup/cube/grouping-sets family
+    "salted_join_order_priority",  # skew salting
+    "running_total_per_user",  # window functions
+    "sessionize_user_events",  # sessionization
+    "percentiles_value_by_type",  # percentiles
+    "stream_windowed_counts_events",  # streaming
+    "dedup_minhash_lsh_capped",  # MinHash+LSH
+    "dedup_simhash48",  # SimHash
+    "embed_cosine_topk",  # similarity search
+]
+
+
+def test_sweep_first_is_exactly_the_first_50():
+    assert len(_SWEEP_FIRST) == 50
+    assert list(QUERIES)[:50] == _SWEEP_FIRST
+
+
+def test_first_50_all_oracle_exact():
+    missing = [n for n in list(QUERIES)[:50] if QUERIES[n][1] is None]
+    assert missing == []
+
+
+def test_first_50_cover_round2_flagships_and_families():
+    first = set(list(QUERIES)[:50])
+    assert [n for n in REQUIRED_FLAGSHIPS if n not in first] == []
+    assert [n for n in FAMILY_REPS if n not in first] == []
+
+
+def test_nothing_lost_in_reorder():
+    # Reordering must be a permutation: every registered query still present.
+    assert len(QUERIES) == len(set(QUERIES)) >= 78
