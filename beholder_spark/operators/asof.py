@@ -109,28 +109,37 @@ def interval_join_count(
         bucket_seconds = window_seconds
     keys = list(key_cols)
     reach = window_seconds // bucket_seconds + 1
-    lb = left.withColumn(
-        "_bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
-    )
     rsec = F.unix_timestamp(F.col(ts_col))
     rb = (
         right.select(*keys, F.col(ts_col).alias("_rts"), F.floor(rsec / bucket_seconds).alias("_rb"))
         .withColumn("_bucket", F.explode(F.sequence(F.col("_rb"), F.col("_rb") + reach)))
         .drop("_rb")
     )
-    # a per-ROW internal id keeps duplicate left rows distinct through the
-    # count aggregate (its value never reaches the output, so partition-
-    # layout dependence is harmless — only row multiplicity matters)
-    lb = lb.withColumn("_liid", F.monotonically_increasing_id())
-    joined = lb.join(rb, on=keys + ["_bucket"], how="left")
+    # The count depends only on (key, ts), so wide left payloads never ride
+    # the bucket join or the aggregate shuffle: probe with the DISTINCT
+    # narrow (key, ts) pairs, count per pair, and equi-join the counts back
+    # to the (untouched) left side. Duplicate left rows share one probe row
+    # and inherit the same count; NULL keys/ts never equality-match on the
+    # way back and fall through to the coalesced 0 — identical semantics to
+    # counting against a left bucket join, at a fraction of the shuffle
+    # width when left carries payload columns.
+    probe = (
+        left.select(*keys, ts_col)
+        .distinct()
+        .withColumn("_bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds))
+    )
     in_range = (
-        F.col("_rts").isNotNull()
-        & (F.col("_rts") <= F.col(ts_col))
+        (F.col("_rts") <= F.col(ts_col))
         & (F.col("_rts") > F.col(ts_col) - F.expr(f"INTERVAL {window_seconds} SECOND"))
     )
-    grp = [c for c in lb.columns if c != "_bucket"]
+    counts = (
+        probe.join(rb, on=keys + ["_bucket"], how="inner")
+        .filter(in_range)
+        .groupBy(*keys, ts_col)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )
     return (
-        joined.groupBy(*grp)
-        .agg(F.sum(F.when(in_range, 1).otherwise(0)).alias(out_col))
-        .drop("_bucket", "_liid")
+        left.join(counts, on=keys + [ts_col], how="left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("bigint"))
+        .select(*left.columns, out_col)
     )
