@@ -11,6 +11,8 @@ one config drives a batch or streaming DataFrame DAG.
 Supported command subset (the router core — SURVEY.md §2):
 
     from parquet '<path>' | from text '<path>' | from timer <n> | from infinity <n>
+    from udp <port> spool '<dir>'         # S1 live ingest (streaming mode)
+    from tcp <host> <port>                # S2 live listener (streaming mode)
     parse syslog [keep-unparsed]          # on $payload
     parse json $field key:type ...        # declared schema
     parse regexp ~pattern~ $name:idx ...  # named groups
@@ -218,6 +220,10 @@ class CompiledPipeline:
     # when the caller supplied the source) — run_config_pipeline persists
     # it so K sinks cost one source computation, same as the caller-df path
     source_df: DataFrame | None = None
+    # `from udp` declarations of the last invocation: [{"port", "spool"}].
+    # The Spark plan tails the spool; the datagram listener itself is a
+    # driver-side bridge the daemon runner starts (Spark has no UDP source)
+    udp_ingest: list[dict] = field(default_factory=list)
 
     def __call__(self, df: DataFrame | None = None, spark: SparkSession | None = None) -> DataFrame:
         return self.transform(df, spark)
@@ -267,8 +273,11 @@ def _compile_set(df: DataFrame, cmd: Command) -> DataFrame:
     raise ConfigError(f"unsupported set function: {word!r}")
 
 
-def _compile_from(spark: SparkSession, cmd: Command) -> DataFrame:
-    """S1-S5 sources for subflows: parquet scan / timer / infinity."""
+def _compile_from(spark: SparkSession, cmd: Command, ctx: dict | None = None) -> DataFrame:
+    """S1-S5 sources: parquet/text scans (batch), timer/infinity
+    generators, and the LIVE listeners (udp/tcp → streaming DataFrames,
+    usable only under :func:`run_config_stream` /
+    :func:`run_config_udp_daemon`)."""
     from beholder_spark import sources
 
     kind = cmd.args[0].value
@@ -281,6 +290,31 @@ def _compile_from(spark: SparkSession, cmd: Command) -> DataFrame:
         return sources.from_timer(spark, int(cmd.args[1].value))
     if kind == "infinity":
         return sources.from_infinity(spark, int(cmd.args[1].value))
+    if kind == "udp":
+        # S1 `from udp <port> spool '<dir>'` — Beholder's primary
+        # transport. Compiles to the spool-tailing file STREAM
+        # (sources.from_udp_stream); the datagram listener is a driver-
+        # side UdpSpoolBridge recorded here and started by the daemon
+        # runner. Port 0 = ephemeral (tests); the bridge reports the
+        # bound port.
+        if len(cmd.args) < 4 or cmd.args[2].value != "spool":
+            raise ConfigError("`from udp` requires: from udp <port> spool '<dir>'")
+        port = int(cmd.args[1].value)
+        if not 0 <= port <= 65535:
+            raise ConfigError(f"udp port out of range: {port}")
+        spool = cmd.args[3].value
+        if ctx is not None:
+            ctx.setdefault("udp_ingest", []).append({"port": port, "spool": spool})
+        return sources.from_udp_stream(spark, spool, source_tag=f"udp://0.0.0.0:{port}")
+    if kind == "tcp":
+        # S2 live listener: `from tcp <host> <port>` → socket stream
+        if len(cmd.args) < 3:
+            raise ConfigError("`from tcp` requires: from tcp <host> <port>")
+        port = int(cmd.args[2].value)
+        if not 0 < port <= 65535:
+            raise ConfigError(f"tcp port out of range: {port}")
+        host = cmd.args[1].value
+        return sources.from_socket_stream(spark, host, port, source_tag=f"tcp://{host}:{port}")
     raise ConfigError(f"unsupported config source: {kind!r}")
 
 
@@ -496,6 +530,7 @@ def compile_config(text: str) -> CompiledPipeline:
         if out is None:
             raise ConfigError("config has no source: pass a DataFrame or start with `from …`")
         compiled.source_df = ctx.get("source_df")
+        compiled.udp_ingest = ctx.get("udp_ingest", [])
         return out
 
     compiled.transform = transform
@@ -508,7 +543,7 @@ def _apply(df: DataFrame | None, cmd: Command, ctx: dict) -> DataFrame:
             # self-sourcing entry: the config's own `from` builds the scan
             if ctx.get("spark") is None:
                 raise ConfigError("self-sourcing config needs spark= to compile `from …`")
-            ctx["source_df"] = _compile_from(ctx["spark"], cmd)
+            ctx["source_df"] = _compile_from(ctx["spark"], cmd, ctx)
             return ctx["source_df"]
         return df  # source selection is the caller's scan (S1/S2 ≡ input table)
     if df is None:
@@ -524,7 +559,7 @@ def _apply(df: DataFrame | None, cmd: Command, ctx: dict) -> DataFrame:
         sub_df = None
         for sub in cmd.block or []:
             if sub.name == "from":
-                sub_df = _compile_from(df.sparkSession, sub)
+                sub_df = _compile_from(df.sparkSession, sub, ctx)
             else:
                 if sub_df is None:
                     raise ConfigError("join block must start with `from …`")
@@ -672,7 +707,9 @@ def run_config_stream(
     from beholder_spark.streaming import write_manifested_stream
 
     compiled = compile_config(config_text)
-    final = compiled(stream_df)
+    # stream_df=None → SELF-SOURCING streaming config: the top-level
+    # `from udp|tcp` builds the streaming scan itself
+    final = compiled(stream_df, spark=spark)
     if compiled.sinks:
         raise ConfigError(
             "streaming mode runs the config's FINAL frame through the "
@@ -682,3 +719,51 @@ def run_config_stream(
     return write_manifested_stream(
         final, out_root, stage, checkpoint_path, available_now=available_now
     )
+
+
+def run_config_udp_daemon(
+    spark: SparkSession,
+    config_text: str,
+    out_root: str,
+    checkpoint_path: str,
+    stage: str = "config_sink",
+):
+    """``beholder -c config`` parity for ``from udp`` — the reference's
+    primary deployment shape (syslog-over-UDP listener daemon). Starts
+    one :class:`beholder_spark.sources.UdpSpoolBridge` per ``from udp``
+    declaration (datagram listener → atomic spool files) and the
+    config's pipeline as a continuous stream tailing those spools into
+    the exactly-once manifested sink.
+
+    Returns ``(StreamingQuery, [UdpSpoolBridge, ...])`` — the caller
+    owns shutdown (``q.stop()``; ``bridge.stop()``). Bridges report
+    their bound port (``bridge.port``), which is how ``from udp 0``
+    (ephemeral, tests) learns the real port. At cluster scale the
+    bridges run on edge nodes (or are replaced by Kafka topics); the
+    Spark side of the plan is identical either way.
+    """
+    from beholder_spark.sources import UdpSpoolBridge
+    from beholder_spark.streaming import write_manifested_stream
+
+    compiled = compile_config(config_text)
+    final = compiled(None, spark=spark)
+    if compiled.sinks:
+        raise ConfigError(
+            "daemon mode runs the config's FINAL frame through the "
+            "manifested sink; remove `to …` commands from the config "
+            f"(found {len(compiled.sinks)})"
+        )
+    if not compiled.udp_ingest:
+        raise ConfigError("run_config_udp_daemon requires a `from udp <port> spool '<dir>'` source")
+    bridges = []
+    try:
+        for spec in compiled.udp_ingest:
+            b = UdpSpoolBridge(spec["spool"], port=spec["port"], flush_secs=0.2)
+            b.start()
+            bridges.append(b)
+        q = write_manifested_stream(final, out_root, stage, checkpoint_path, available_now=False)
+    except Exception:
+        for b in bridges:
+            b.stop()
+        raise
+    return q, bridges

@@ -437,3 +437,68 @@ def test_config_streaming_daemon_mode(spark, tmp_path):
         C.run_config_stream(
             spark, stream, "to file 'x';", str(tmp_path / "out2"), str(tmp_path / "ck2")
         )
+
+
+def test_config_from_udp_daemon(spark, tmp_path):
+    """`from udp <port> spool '<dir>'` round-trip: the daemon runner
+    starts the datagram bridge AND the streaming pipeline; live datagrams
+    land exactly-once in the manifested sink and KEEP landing (a second
+    wave arrives after the first is committed) — daemon parity for the
+    reference's primary transport."""
+    import socket
+    import time
+
+    from beholder_spark.plans import lineage as ln
+
+    spool = tmp_path / "spool"
+    cfg = (
+        f"from udp 0 spool '{spool}';\n"
+        "parse syslog keep-unparsed;\n"
+        "keep $severity $program $parse_ok;\n"
+    )
+    q, bridges = C.run_config_udp_daemon(
+        spark, cfg, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    try:
+        port = bridges[0].port
+        cli = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+        def send(lo, hi):
+            for i in range(lo, hi):
+                msg = f"<{i % 32}>1 2026-03-01T00:00:00Z h prog{i % 4} - - - d{i}"
+                cli.sendto(msg.encode(), ("127.0.0.1", port))
+
+        def rows():
+            try:
+                return ln.read_stage(spark, str(tmp_path / "out"), "config_sink", "_batch").count()
+            except Exception:
+                return 0  # sink dir not created yet
+
+        send(0, 30)
+        deadline = time.monotonic() + 90
+        while rows() < 30 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert rows() == 30
+        send(30, 50)  # the daemon keeps ingesting after the first commit
+        deadline = time.monotonic() + 90
+        while rows() < 50 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        cli.close()
+    finally:
+        q.stop()
+        for b in bridges:
+            b.stop()
+
+    got = ln.read_stage(spark, str(tmp_path / "out"), "config_sink", "_batch")
+    assert got.count() == 50  # exactly-once: no loss, no duplicates
+    assert got.filter("parse_ok").count() == 50
+    assert got.select("program").distinct().count() == 4
+
+
+def test_config_from_udp_compile_errors(spark):
+    with pytest.raises(C.ConfigError, match="spool"):
+        C.compile_config("from udp 5140;")(None, spark=spark)
+    with pytest.raises(C.ConfigError, match="out of range"):
+        C.compile_config("from udp 99999 spool '/tmp/x';")(None, spark=spark)
+    with pytest.raises(C.ConfigError, match="from udp"):
+        C.run_config_udp_daemon(spark, "from timer 5;", "/tmp/u1", "/tmp/u2")
