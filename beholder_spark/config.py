@@ -42,6 +42,7 @@ config front end adds zero execution machinery.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -767,3 +768,136 @@ def run_config_udp_daemon(
             b.stop()
         raise
     return q, bridges
+
+
+class ConfigStreamSupervisor:
+    """SIGHUP hot-reload parity (SURVEY.md §3.1): run a config as a
+    long-running stream and swap the pipeline ATOMICALLY on reload.
+
+    The reference re-parses its config on SIGHUP and replaces the
+    conveyor only if the new text compiles — a broken config keeps the
+    old pipeline running. Mapping here: :meth:`reload` dry-validates the
+    new text against a fresh streaming scan (parse + full schema
+    analysis), then stops the StreamingQuery (Spark finishes or abandons
+    the in-flight micro-batch; the manifested sink makes either outcome
+    replay-safe) and restarts the recompiled pipeline on the SAME
+    checkpoint and SAME manifested sink — file-source offsets carry
+    over, already-manifested batches are never re-appended, so the swap
+    loses and duplicates nothing. Stateless configs only (every config
+    command compiles to projections/filters/when-chains), which is what
+    makes restarting a changed plan on one checkpoint legal.
+
+    Swap signals, mirroring the daemon contract:
+
+    - explicit :meth:`reload` (the test / embedding API);
+    - :meth:`watch` — a poll thread that reloads when the config file's
+      mtime changes or a SIGHUP was received;
+    - :meth:`install_sighup` — registers the actual ``SIGHUP`` handler
+      (driver main thread) that flags the watcher.
+
+    ``stream_factory`` must return a FRESH streaming DataFrame per call
+    (a streaming scan is bound to its query); schema-changing reloads
+    should use a fresh ``stage`` name — the manifested parquet table
+    keeps one schema per stage.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config_path: str,
+        stream_factory,
+        out_root: str,
+        checkpoint_path: str,
+        stage: str = "config_sink",
+    ):
+        self.spark = spark
+        self.config_path = config_path
+        self.stream_factory = stream_factory
+        self.out_root = out_root
+        self.checkpoint_path = checkpoint_path
+        self.stage = stage
+        self.query = None
+        self.config_text: str | None = None
+        self.generation = 0  # bumps on every successful (re)start
+        self.last_error: Exception | None = None
+        self._hup = False
+        self._watch_stop = None  # threading.Event when watching
+
+    def start(self) -> "ConfigStreamSupervisor":
+        with open(self.config_path, encoding="utf-8") as f:
+            text = f.read()
+        self._start_query(text)
+        return self
+
+    def _start_query(self, text: str) -> None:
+        self.query = run_config_stream(
+            self.spark,
+            self.stream_factory(),
+            text,
+            self.out_root,
+            self.checkpoint_path,
+            stage=self.stage,
+            available_now=False,
+        )
+        self.config_text = text
+        self.generation += 1
+
+    def reload(self) -> bool:
+        """Re-read the config file; swap if it changed AND compiles.
+
+        Returns True on swap. Unchanged text → False (no churn). Broken
+        text → False with the error in :attr:`last_error`; the OLD
+        pipeline keeps running untouched (reference SIGHUP semantics).
+        """
+        self._hup = False
+        with open(self.config_path, encoding="utf-8") as f:
+            text = f.read()
+        if text == self.config_text:
+            return False
+        try:
+            # full dry validation BEFORE touching the running query:
+            # parse, compile, and force schema analysis on a fresh scan
+            compiled = compile_config(text)
+            compiled(self.stream_factory(), spark=self.spark).schema
+        except Exception as e:  # noqa: BLE001 — any compile/analysis failure
+            self.last_error = e
+            return False
+        self.last_error = None
+        self.query.stop()  # micro-batch boundary; manifested sink is swap-safe
+        self._start_query(text)
+        return True
+
+    def install_sighup(self) -> None:
+        """Register the real SIGHUP handler (call from the driver's main
+        thread). The handler only flags; the watcher thread performs the
+        swap — signal-handler-safe."""
+        import signal
+
+        signal.signal(signal.SIGHUP, lambda *_: setattr(self, "_hup", True))
+
+    def watch(self, poll_secs: float = 1.0) -> None:
+        """Start the reload watcher: polls config mtime + the SIGHUP flag."""
+        import threading
+        import time as _time
+
+        self._watch_stop = threading.Event()
+        mtime = os.path.getmtime(self.config_path)
+
+        def loop():
+            nonlocal mtime
+            while not self._watch_stop.wait(poll_secs):
+                try:
+                    m = os.path.getmtime(self.config_path)
+                except OSError:
+                    continue  # config mid-rewrite; retry next poll
+                if self._hup or m != mtime:
+                    mtime = m
+                    self.reload()
+
+        threading.Thread(target=loop, daemon=True).start()
+
+    def stop(self) -> None:
+        if self._watch_stop is not None:
+            self._watch_stop.set()
+        if self.query is not None:
+            self.query.stop()

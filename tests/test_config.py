@@ -502,3 +502,95 @@ def test_config_from_udp_compile_errors(spark):
         C.compile_config("from udp 99999 spool '/tmp/x';")(None, spark=spark)
     with pytest.raises(C.ConfigError, match="from udp"):
         C.run_config_udp_daemon(spark, "from timer 5;", "/tmp/u1", "/tmp/u2")
+
+
+def test_config_hot_reload_swaps_pipeline(spark, tmp_path):
+    """SIGHUP parity (SURVEY §3.1): rewriting the config mid-stream swaps
+    the pipeline at a micro-batch boundary — post-swap rows use the NEW
+    config, pre-swap rows are neither lost nor duplicated — and a BROKEN
+    rewrite keeps the old pipeline running untouched."""
+    import time
+
+    from beholder_spark.plans import lineage as ln
+
+    src_dir = str(tmp_path / "src")
+
+    def wave(lo, hi):
+        rows = [(f"<13>1 2026-04-01T00:00:00Z h p - - - w{i}",) for i in range(lo, hi)]
+        spark.createDataFrame(rows, ["payload"]).coalesce(1).write.mode("append").parquet(src_dir)
+
+    cfg = tmp_path / "beholder.conf"
+    cfg.write_text("parse syslog keep-unparsed; set $ver 'v1'; keep $ver $severity $parse_ok;")
+    wave(0, 30)
+
+    sup = C.ConfigStreamSupervisor(
+        spark,
+        str(cfg),
+        lambda: spark.readStream.schema("payload string").parquet(src_dir),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    ).start()
+    try:
+
+        def counts():
+            try:
+                df = ln.read_stage(spark, str(tmp_path / "out"), "config_sink", "_batch")
+                return {r["ver"]: r["n"] for r in df.groupBy("ver").agg(F.count(F.lit(1)).alias("n")).collect()}
+            except Exception:
+                return {}
+
+        deadline = time.monotonic() + 90
+        while counts().get("v1", 0) < 30 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert counts() == {"v1": 30}
+
+        # broken rewrite: reload refuses the swap, old pipeline keeps running
+        gen = sup.generation
+        cfg.write_text("parse syslog keep-unparsed; set $ver bogusfn $x; keep $ver;")
+        assert sup.reload() is False
+        assert isinstance(sup.last_error, C.ConfigError)
+        assert sup.generation == gen and sup.query.isActive
+
+        # good rewrite: atomic swap on the SAME checkpoint + manifested sink
+        cfg.write_text("parse syslog keep-unparsed; set $ver 'v2'; keep $ver $severity $parse_ok;")
+        assert sup.reload() is True
+        assert sup.generation == gen + 1 and sup.last_error is None
+        wave(30, 50)
+        deadline = time.monotonic() + 90
+        while counts().get("v2", 0) < 20 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert counts() == {"v1": 30, "v2": 20}  # exactly-once across the swap
+    finally:
+        sup.stop()
+
+
+def test_config_watcher_and_sighup_trigger_reload(tmp_path):
+    """The watch thread reloads on config mtime change and on SIGHUP —
+    and does NOT churn while the file is unchanged."""
+    import os
+    import signal
+    import time
+
+    cfg = tmp_path / "c.conf"
+    cfg.write_text("keep $a;")
+    sup = C.ConfigStreamSupervisor(None, str(cfg), None, "", "")
+    calls = []
+    sup.reload = lambda: calls.append(1)
+    sup.watch(0.05)
+    try:
+        time.sleep(0.3)
+        assert not calls  # unchanged file: no reload churn
+        cfg.write_text("keep $b;")
+        deadline = time.monotonic() + 5
+        while not calls and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert calls  # mtime change → reload
+        calls.clear()
+        sup.install_sighup()
+        os.kill(os.getpid(), signal.SIGHUP)
+        deadline = time.monotonic() + 5
+        while not calls and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert calls  # SIGHUP → reload
+    finally:
+        sup._watch_stop.set()
