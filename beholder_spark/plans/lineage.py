@@ -134,6 +134,7 @@ def run_stage(
     partition_col: str,
     extra_metrics: dict[str, F.Column] | None = None,
     partition_by: list[str] | None = None,
+    extra_lineage: dict[str, int] | None = None,
 ) -> DataFrame:
     """Execute one checkpointed stage: write pending partitions under a
     run_id-scoped directory, record manifest + lineage, return the
@@ -181,6 +182,10 @@ def run_stage(
             spark, root, MANIFEST,
             [{"stage": stage, "partition": str(p), "run_id": run_id} for p in parts],
         )
+    # driver-side scalars computed OUTSIDE this stage's plan (e.g. the
+    # sender-buffer overflow count — K5: rows dropped before the write,
+    # invisible to observe). Always materialized (0 default) so the
+    # lineage table keeps ONE schema across appends.
     _append(
         spark, root, LINEAGE,
         [{
@@ -189,6 +194,7 @@ def run_stage(
             "rows_out": int(got.get("rows_out", 0) or 0),
             "parse_failures": int(got.get("parse_failures", 0) or 0),
             "dropped": int(got.get("dropped", 0) or 0),
+            "dropped_overflow": int((extra_lineage or {}).get("dropped_overflow", 0)),
             "wall_ms": wall_ms,
             "n_partitions": len(parts),
         }],

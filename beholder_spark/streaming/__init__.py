@@ -123,6 +123,8 @@ def write_manifested_stream(
     stage: str,
     checkpoint_path: str,
     available_now: bool = True,
+    buffer_rows: int | None = None,
+    order_col: str | None = None,
 ):
     """EXACTLY-ONCE streaming sink: foreachBatch + the manifest machinery
     of :mod:`beholder_spark.plans.lineage`, keyed by batch CONTENT.
@@ -145,10 +147,34 @@ def write_manifested_stream(
     key on ``_batch=b<id>`` and the guarantee degrades to the original
     one: checkpoint loss is only replay-safe while the source is
     unchanged.
+
+    Backpressure (K5 ``buffer N`` drop semantics): ``buffer_rows`` caps
+    each micro-batch at that many rows — the buffer fills in
+    ``order_col`` order and overflow (the latest arrivals) is DROPPED
+    and COUNTED in ``_lineage.dropped_overflow``, Beholder's counted
+    drop-on-overflow contract. ``order_col`` must be a unique key for a
+    deterministic survivor set. Pair with a source trigger limit
+    (``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``) to bound batch
+    size — that is Spark's native backpressure; the buffer bound is the
+    LOSSY mode on top. Counting the overflow costs one extra pass over
+    the (bounded) micro-batch, and a lossy sink is inherently weaker
+    than exactly-once: after checkpoint loss the replayed batch may
+    regroup rows and keep a different survivor set.
     """
     from beholder_spark.plans import lineage as ln
 
+    if buffer_rows is not None and order_col is None:
+        raise ValueError("buffer_rows requires order_col (deterministic survivor set)")
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dropped = 0
+        if buffer_rows is not None:
+            n_in = batch_df.count()
+            if n_in > buffer_rows:
+                # sort+limit compiles to TakeOrderedAndProject — per-
+                # partition top-N then merge, never a full global sort
+                batch_df = batch_df.orderBy(order_col).limit(buffer_rows)
+                dropped = n_in - buffer_rows
         src = F.input_file_name()
         b = batch_df.withColumn(
             "_batch",
@@ -156,7 +182,10 @@ def write_manifested_stream(
                 F.concat(F.lit("f"), F.md5(src))
             ),
         )
-        ln.run_stage(b.sparkSession, out_root, stage, b, partition_col="_batch")
+        ln.run_stage(
+            b.sparkSession, out_root, stage, b, partition_col="_batch",
+            extra_lineage={"dropped_overflow": dropped},
+        )
 
     w = (
         stream.writeStream.foreachBatch(write_batch)
