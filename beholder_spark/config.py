@@ -339,6 +339,13 @@ def _compile_parse(df: DataFrame, cmd: Command) -> DataFrame:
             groups[name.lstrip("$")] = int(idx or len(groups) + 1)
         src = "payload" if "payload" in df.columns else df.columns[0]
         return po.parse_regexp(df, src, pat, groups)
+    if kind == "fieldpack":
+        # P4: spec-pinned binary field map (operators/parse.py SPEC).
+        # Listed $fields project to columns; bare form keeps the dynamic
+        # `fields` map (Beholder messages have no fixed schema).
+        keep = any(a.value == "keep-unparsed" for a in cmd.args[1:])
+        listed = [_field(a) for a in cmd.args[1:] if a.value != "keep-unparsed"]
+        return po.parse_fieldpack(df, col="payload", fields=listed or None, keep_unparsed=keep)
     if kind == "each-field-as-message":
         # P5: one message per field. Listed $fields explode; unlisted
         # columns ride along as identity columns. Bare form explodes

@@ -173,3 +173,148 @@ def each_field_as_message(df: DataFrame, fields: list[str], id_cols: list[str]) 
         pairs.append(F.col(f).cast("string"))
     kv = F.explode(F.map_from_arrays(F.array(*pairs[::2]), F.array(*pairs[1::2])))
     return df.select(*id_cols, kv.alias("key", "value"))
+
+
+# ---------------------------------------------------------------------------
+# P4: parse fieldpack — spec-pinned binary field map (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+#
+# The reference's fieldpack is its internal binary message format for
+# beholder-to-beholder forwarding (a packed field map). The upstream
+# checkout is unavailable in this sandbox, so the wire framing below is
+# SPEC-PINNED here (normative for this engine, byte-exact contract):
+#
+#   frame   := magic(0xFB) version(0x01) uvarint(n_fields) field*
+#   field   := uvarint(len(key)) key_utf8 uvarint(len(value)) value_utf8
+#   uvarint := unsigned LEB128
+#
+# NULL fields are ABSENT from the frame (Beholder's dynamic field map:
+# an unset field does not exist). All values are strings — the reference
+# message model is string-valued fields. Any violation (bad magic/
+# version, truncated frame, invalid UTF-8, trailing bytes) → parse_ok
+# False with the fields NULL; the raw binary column passes through
+# unchanged (P7 never-silent-loss).
+
+FIELDPACK_MAGIC = 0xFB
+FIELDPACK_VERSION = 1
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    val, shift = 0, 0
+    while True:
+        if pos >= len(buf) or shift > 63:
+            raise ValueError("truncated/overlong uvarint")
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
+def fieldpack_pack(fields: dict[str, str | None]) -> bytes:
+    """Encode one message's field map per the SPEC above (driver/test
+    helper and the scalar core of the encode UDF)."""
+    present = [(k, v) for k, v in fields.items() if v is not None]
+    out = bytearray([FIELDPACK_MAGIC, FIELDPACK_VERSION])
+    out += _uvarint(len(present))
+    for k, v in present:
+        kb, vb = k.encode("utf-8"), v.encode("utf-8")
+        out += _uvarint(len(kb)) + kb + _uvarint(len(vb)) + vb
+    return bytes(out)
+
+
+def fieldpack_unpack(buf: bytes | None) -> dict[str, str] | None:
+    """Decode one frame; None on any SPEC violation (the parse_ok=False
+    path). Strict: trailing bytes after the last field are a violation."""
+    if buf is None or len(buf) < 3 or buf[0] != FIELDPACK_MAGIC or buf[1] != FIELDPACK_VERSION:
+        return None
+    try:
+        n, pos = _read_uvarint(buf, 2)
+        fields: dict[str, str] = {}
+        for _ in range(n):
+            klen, pos = _read_uvarint(buf, pos)
+            if pos + klen > len(buf):
+                raise ValueError("truncated key")
+            key = buf[pos:pos + klen].decode("utf-8")
+            pos += klen
+            vlen, pos = _read_uvarint(buf, pos)
+            if pos + vlen > len(buf):
+                raise ValueError("truncated value")
+            fields[key] = buf[pos:pos + vlen].decode("utf-8")
+            pos += vlen
+        if pos != len(buf):
+            raise ValueError("trailing bytes")
+        return fields
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+@F.pandas_udf(T.BinaryType())
+def _fieldpack_enc_udf(cols: pd.DataFrame) -> pd.Series:
+    keys = list(cols.columns)
+    return pd.Series(
+        [fieldpack_pack(dict(zip(keys, row))) for row in cols.itertuples(index=False)]
+    )
+
+
+_FIELDPACK_DEC_SCHEMA = T.StructType(
+    [
+        T.StructField("fields", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("parse_ok", T.BooleanType(), False),
+    ]
+)
+
+
+@F.pandas_udf(_FIELDPACK_DEC_SCHEMA)
+def _fieldpack_dec_udf(raw: pd.Series) -> pd.DataFrame:
+    rows = []
+    for buf in raw:
+        fields = fieldpack_unpack(bytes(buf) if buf is not None else None)
+        rows.append((fields, fields is not None))
+    return pd.DataFrame(rows, columns=["fields", "parse_ok"])
+
+
+def fieldpack_encode(df: DataFrame, fields: list[str], out: str = "payload") -> DataFrame:
+    """``set $payload fieldpack`` twin: pack the listed fields (cast to
+    string; NULLs absent) into one binary column. Arrow moves the struct
+    batch; packing is a tight bytes loop per row in the Python worker —
+    the same cost shape as the measured-fastest syslog UDF."""
+    struct = F.struct(*[F.col(f).cast("string").alias(f) for f in fields])
+    return df.withColumn(out, _fieldpack_enc_udf(struct))
+
+
+def parse_fieldpack(
+    df: DataFrame,
+    col: str = "payload",
+    fields: list[str] | None = None,
+    keep_unparsed: bool = False,
+) -> DataFrame:
+    """P4 ``parse fieldpack``: decode the binary field map.
+
+    With ``fields`` the listed keys are projected to columns (parsed
+    fields OVERWRITE same-named message fields, Beholder semantics;
+    absent keys → NULL). Without it the dynamic map lands as a
+    ``fields`` column — Beholder messages have no fixed schema, a map
+    column is the honest Spark shape. The raw binary column is never
+    modified, so a failed row keeps its frame (P7)."""
+    out = df.withColumn("_fp", _fieldpack_dec_udf(F.col(col)))
+    if fields is None:
+        out = out.withColumn("fields", F.col("_fp.fields"))
+    else:
+        for f in fields:
+            out = out.withColumn(f, F.col("_fp.fields").getItem(f))
+    out = out.withColumn("parse_ok", F.col("_fp.parse_ok")).drop("_fp")
+    if not keep_unparsed:
+        out = out.filter(F.col("parse_ok"))
+    return out

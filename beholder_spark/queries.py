@@ -2339,6 +2339,34 @@ def textstats_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rare_token_stats(d, "doc_id", "text")
 
 
+@_register(
+    "parse_fieldpack_roundtrip",
+    """
+    SELECT event_id, event_type, CAST(user_id AS VARCHAR) AS uid, props,
+           TRUE AS parse_ok
+    FROM events
+    """,
+)
+def parse_fieldpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 ``parse fieldpack`` (SURVEY.md §2.2): encode∘decode == identity
+    over the events table. The oracle recomputes the expected fields
+    directly from the source columns, so a hash match proves the binary
+    roundtrip byte-exact end to end (wire framing SPEC-pinned in
+    operators/parse.py — magic/version/LEB128 length-prefixed UTF-8)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("user_id").cast("string").alias("uid"),
+        "props",
+    )
+    enc = parse.fieldpack_encode(ev, ["event_type", "uid", "props"], out="fp")
+    dec = parse.parse_fieldpack(
+        enc.select("event_id", "fp"), col="fp",
+        fields=["event_type", "uid", "props"], keep_unparsed=True,
+    )
+    return dec.select("event_id", "event_type", "uid", "props", "parse_ok")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sweep ordering
 # ---------------------------------------------------------------------------

@@ -594,3 +594,18 @@ def test_config_watcher_and_sighup_trigger_reload(tmp_path):
         assert calls  # SIGHUP → reload
     finally:
         sup._watch_stop.set()
+
+
+def test_config_parse_fieldpack(spark):
+    """P4 via the config front end: listed fields project to columns;
+    bare form keeps the dynamic map."""
+    from beholder_spark.operators import parse as P
+
+    msgs = [{"host": f"h{i}", "msg": f"m{i}"} for i in range(5)]
+    df = spark.createDataFrame(
+        [(bytearray(P.fieldpack_pack(m)),) for m in msgs], "payload binary"
+    )
+    out = C.compile_config("parse fieldpack $host $msg;")(df)
+    assert sorted((r.host, r.msg) for r in out.collect()) == [(f"h{i}", f"m{i}") for i in range(5)]
+    bare = C.compile_config("parse fieldpack keep-unparsed;")(df)
+    assert bare.select("fields").first().fields == {"host": "h0", "msg": "m0"}

@@ -64,3 +64,54 @@ def test_each_field_as_message(spark):
     out = parse.each_field_as_message(df, ["x", "y"], id_cols=["id"])
     got = {(r.key, r.value) for r in out.collect()}
     assert got == {("x", "a"), ("y", "10")}
+
+
+def test_fieldpack_codec_unit():
+    """P4 SPEC: LEB128 length-prefixed UTF-8 field map; NULLs absent;
+    every framing violation → None (the parse_ok=False path)."""
+    from beholder_spark.operators import parse as P
+
+    d = {"a": "héllo", "b": "", "c": None, "日": "本"}
+    buf = P.fieldpack_pack(d)
+    assert P.fieldpack_unpack(buf) == {"a": "héllo", "b": "", "日": "本"}
+    assert P.fieldpack_unpack(bytes([0xFB, 0x01, 0x00])) == {}  # empty map is valid
+    assert P.fieldpack_unpack(None) is None
+    assert P.fieldpack_unpack(b"") is None
+    assert P.fieldpack_unpack(bytes([0xFA, 0x01, 0x00])) is None  # bad magic
+    assert P.fieldpack_unpack(bytes([0xFB, 0x02, 0x00])) is None  # bad version
+    assert P.fieldpack_unpack(buf[:-1]) is None  # truncated value
+    assert P.fieldpack_unpack(buf + b"x") is None  # trailing bytes
+    # long values exercise multi-byte uvarints
+    big = {"k" * 200: "v" * 5000}
+    assert P.fieldpack_unpack(P.fieldpack_pack(big)) == big
+
+
+def test_fieldpack_spark_roundtrip(spark):
+    rows = [(1, "alpha", "x"), (2, "béta ☃", None), (3, "", "z")]
+    df = spark.createDataFrame(rows, ["id", "f1", "f2"])
+    enc = parse.fieldpack_encode(df, ["f1", "f2"], out="fp")
+    dec = parse.parse_fieldpack(
+        enc.select("id", "fp"), col="fp", fields=["f1", "f2"], keep_unparsed=True
+    )
+    got = sorted(dec.select("id", "f1", "f2", "parse_ok").collect())
+    assert [tuple(r) for r in got] == [
+        (1, "alpha", "x", True),
+        (2, "béta ☃", None, True),
+        (3, "", "z", True),
+    ]
+
+
+def test_fieldpack_corrupt_quarantine(spark):
+    """Corrupt frames: parse_ok False, raw binary preserved, dynamic-map
+    form; default mode filters them (quarantine upstream, P7)."""
+    from beholder_spark.operators import parse as P
+
+    good = P.fieldpack_pack({"k": "v"})
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"junk"))], "id long, fp binary"
+    )
+    dec = parse.parse_fieldpack(df, col="fp", keep_unparsed=True)
+    rows = {r.id: (r.fields, r.parse_ok, bytes(r.fp)) for r in dec.collect()}
+    assert rows[1] == ({"k": "v"}, True, good)
+    assert rows[2] == (None, False, b"junk")  # frame kept: never silent loss
+    assert parse.parse_fieldpack(df, col="fp").count() == 1
