@@ -27,6 +27,7 @@ Supported command subset (the router core — SURVEY.md §2):
     switch $field { case ~re~ { ... } default { ... } }
     buffer <n>                            # sink batching → maxRecordsPerFile
     to file '<path template with {$field}>'
+    to stdout | to tcp 'host:port' | to udp 'host:port' | to shell 'cmd'
 
 Semantics pinned by our SPEC where the reference is unverifiable:
 switch is first-match-wins in case order; messages matching no case take
@@ -491,10 +492,24 @@ def _collect_sink(
             {"kind": kind, "route": route, "df": df, "host": host, "port": int(port)}
         )
         return
+    if kind == "shell":
+        # K4 `to shell 'command'`: partition rows stream into the
+        # command's stdin on the executors (sinks.send_partition_to_shell)
+        if len(cmd.args) < 2 or cmd.args[1].kind != "quoted":
+            raise ConfigError("`to shell` needs a quoted command: to shell 'cmd'")
+        if "payload" not in df.columns:
+            raise ConfigError(
+                "`to shell` pipes the `payload` field, but the flow has no "
+                "`payload` column at this point (was it dropped or renamed?)"
+            )
+        ctx["sinks"].append(
+            {"kind": "shell", "route": route, "df": df, "command": cmd.args[1].value}
+        )
+        return
     if kind != "file":
         raise ConfigError(
             "only `to file '<tpl>'`, `to stdout`, `to tcp 'host:port'`, "
-            "and `to udp 'host:port'` sinks are supported"
+            "`to udp 'host:port'`, and `to shell 'cmd'` sinks are supported"
         )
     tpl = cmd.args[1].value
     ctx["sinks"].append(
@@ -657,6 +672,15 @@ def run_config_pipeline(
             slice_df = sink["df"]
             if sink.get("kind") == "stdout":
                 slice_df.show(20, truncate=False)  # K1 debug sink
+                results[f"sink_{i}"] = slice_df
+                continue
+            if sink.get("kind") == "shell":
+                # K4: executor-side subprocess per partition
+                from beholder_spark import sinks as _sk
+
+                slice_df.foreachPartition(
+                    _sk.send_partition_to_shell(sink["command"], "payload")
+                )
                 results[f"sink_{i}"] = slice_df
                 continue
             if sink.get("kind") in ("tcp", "udp"):

@@ -125,6 +125,46 @@ def write_udp_stream(
     return w.start()
 
 
+def send_partition_to_shell(command: str, line_col: str):
+    """K4 ``to shell 'command'`` executor-side sender: one subprocess per
+    partition; the partition's rows stream newline-framed into its stdin,
+    stdin closes at partition end, and a NON-ZERO exit fails the task
+    (→ Spark retry; silent exec failure would be silent data loss).
+
+    Trust model is Beholder's own: the config author IS the operator —
+    ``to shell`` exists to pipe into operator-owned tooling (logger,
+    gzip, a custom forwarder). The command runs via the executor's shell
+    on whatever host the partition lands on; at cluster scale the
+    command must exist on every executor image. NULL lines are skipped.
+    """
+
+    def send(rows) -> None:
+        import subprocess as _sp
+
+        proc = _sp.Popen(command, shell=True, stdin=_sp.PIPE)
+        try:
+            for r in rows:
+                v = r[line_col]
+                if v is not None:
+                    proc.stdin.write((str(v) + "\n").encode("utf-8"))
+            proc.stdin.close()
+            rc = proc.wait()
+            if rc != 0:
+                raise RuntimeError(f"`to shell` command exited {rc}: {command!r}")
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+
+    return send
+
+
+def write_shell(df: DataFrame, command: str, line_col: str = "payload") -> None:
+    """K4 batch form: run the shell sink over every partition (parallel
+    executor-side subprocesses, zero driver-side data movement)."""
+    df.foreachPartition(send_partition_to_shell(command, line_col))
+
+
 def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
     """K2 ``to file <tpl>``: field-templated path ≡ partition columns.
 

@@ -28,6 +28,73 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Host-noise calibration reference (VERDICT r2 item 6). Fixed work whose
+# best-case cost on THIS sandbox host is pinned below; the ratio of a
+# run's measured cost to the reference separates engine regressions from
+# environment drift.
+#
+# Probe choice matters: the CPU loop is flat on this VM (0.27-0.49s
+# across contention states) and a raw memory-bandwidth probe is
+# HYPERSENSITIVE (0.76s idle -> 85s contended for identical 4GB copies,
+# 2026-08-17 — a 113x swing while the actual pipeline in the same window
+# ran fine), so neither is a valid multiplier. The normalization
+# denominator is instead a MINIATURE OF THE WORKLOAD'S NOISY PHASE: a
+# fixed 200k-line syslog-parse job through the Arrow/pandas-UDF path
+# (JVM-generated input, noop sink) — exactly the layer the repo's noise
+# forensics isolated as the swing source. cpu/membw stay as diagnostics.
+# spark_parse_sec pinned 2026-08-17 (r3): min of 6 warm local[32] samples
+# [7.47, 1.14, 0.93, 0.90, 0.63, 0.70] — the 12x first-sample spread in
+# ONE JVM is the documented noise; the min is the host's capability.
+CALIB_REF = {"cpu_sec": 0.27, "membw_sec": 0.095, "spark_parse_sec": 0.634}
+
+
+def calibrate() -> dict:
+    """Diagnostic sample: pure-Python CPU loop + numpy copy probe
+    (2 × 128 MB copies = 512 MB of traffic — kept small so a contended
+    host doesn't spend minutes in the probe itself; the 4 GB variant
+    measured 85 s/sample under contention). Not the normalizer — see
+    CALIB_REF."""
+    import numpy as np
+
+    t0 = time.monotonic()
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    cpu = time.monotonic() - t0
+    a = np.ones(16_000_000, dtype=np.float64)
+    t0 = time.monotonic()
+    for _ in range(2):
+        b = a.copy()
+        a[0] = b[1]
+    mem = time.monotonic() - t0
+    return {"cpu_sec": round(cpu, 3), "membw_sec": round(mem, 3)}
+
+
+def calibrate_spark(spark) -> float:
+    """Workload-shaped calibration: parse 200k synthetic syslog lines
+    through the Arrow pandas-UDF path to a noop sink. Input is generated
+    JVM-side (format_string over spark.range — no Python in the gen), so
+    the timed work is scan→Arrow IPC→Python regex→Arrow back→noop: the
+    exact phase the host noise hits."""
+    from beholder_spark.operators import parse as po
+    from pyspark.sql import functions as F
+
+    lines = spark.range(200_000).select(
+        F.format_string(
+            "<%d>1 2026-01-01T00:00:00Z host%d prog%d - - - calibration message %d",
+            (F.col("id") % 190).cast("int"),
+            (F.col("id") % 50).cast("int"),
+            (F.col("id") % 7).cast("int"),
+            F.col("id"),
+        ).alias("payload")
+    )
+    t0 = time.monotonic()
+    po.parse_syslog(lines, col="payload", keep_unparsed=True).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    return round(time.monotonic() - t0, 3)
+
+
 BENCH_BASE_ROWS = int(os.environ.get("BENCH_BASE_ROWS", "120000"))
 BENCH_REPLICATION = int(os.environ.get("BENCH_REPLICATION", "72"))
 BASE_CACHE = f"/tmp/beholder_bench/base_{BENCH_BASE_ROWS}"
@@ -159,8 +226,19 @@ def main_bench() -> None:
     # JVM — BENCH/BASELINE.md noise section); the min is the engine's
     # capability, and a single-run headline is a lottery ticket.
     runs = int(os.environ.get("BENCH_PIPELINE_RUNS", "3"))
+    calib_samples = [calibrate()]
     run_pipeline_once(spark, pages_path, lookup_path)
-    timed = [run_pipeline_once(spark, pages_path, lookup_path) for _ in range(runs)]
+    # workload-shaped calibration needs warm UDF workers → sample after
+    # the warm-up run, between timed runs, and at the end; min-of-samples
+    # pairs with the min-of-N pipeline headline (both estimate the least-
+    # contended window of this invocation)
+    spark_calib = [calibrate_spark(spark)]
+    calib_samples.append(calibrate())
+    timed = []
+    for _ in range(runs):
+        timed.append(run_pipeline_once(spark, pages_path, lookup_path))
+        spark_calib.append(calibrate_spark(spark))
+    calib_samples.append(calibrate())
     docs = timed[0][1]
     secs = sorted(round(s, 2) for s, _ in timed)
     sec = secs[0]
@@ -171,12 +249,34 @@ def main_bench() -> None:
     qtimes = run_queries(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # noise-normalized headline: best calibration sample ÷ pinned
+    # reference = how much slower the host is THIS draw than the host
+    # that recorded the baseline; credit the engine for the difference.
+    # min-of-N pipeline runs pair with min-of-samples calibration: both
+    # estimate the least-contended window of the invocation.
+    best_membw = min(c["membw_sec"] for c in calib_samples)
+    best_cpu = min(c["cpu_sec"] for c in calib_samples)
+    best_spark_calib = min(spark_calib)
+    ref = CALIB_REF["spark_parse_sec"]
+    host_slowdown = round(max(1.0, best_spark_calib / ref), 3) if ref else None
     print(
         json.dumps(
             {
                 "metric": "e2e parse→enrich→route→aggregate throughput",
                 "value": round(docs / sec, 1),
                 "unit": "docs/sec",
+                "value_noise_normalized": (
+                    round(host_slowdown * docs / sec, 1) if host_slowdown else None
+                ),
+                "host_slowdown": host_slowdown,
+                "calib_spark_parse_samples": spark_calib,
+                "calib_samples": calib_samples,
+                "calib_best": {
+                    "cpu_sec": best_cpu,
+                    "membw_sec": best_membw,
+                    "spark_parse_sec": best_spark_calib,
+                },
+                "calib_ref": CALIB_REF,
                 "pipeline_sec": round(sec, 2),
                 "pipeline_runs_sec": secs,
                 "pipeline_docs": docs,

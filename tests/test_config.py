@@ -609,3 +609,32 @@ def test_config_parse_fieldpack(spark):
     assert sorted((r.host, r.msg) for r in out.collect()) == [(f"h{i}", f"m{i}") for i in range(5)]
     bare = C.compile_config("parse fieldpack keep-unparsed;")(df)
     assert bare.select("fields").first().fields == {"host": "h0", "msg": "m0"}
+
+
+def test_config_to_shell_sink(spark, tmp_path):
+    """K4 `to shell 'cmd'`: partition rows stream newline-framed into the
+    command's stdin on the executors; a failing command fails the job
+    (never silent loss); missing/unquoted command fails at compile."""
+    df = spark.createDataFrame([(f"line{i}",) for i in range(20)], ["payload"]).coalesce(1)
+    out = tmp_path / "shell_out.txt"
+    C.run_config_pipeline(spark, df, f"to shell 'cat >> {out}';", str(tmp_path / "o"))
+    assert sorted(out.read_text().splitlines()) == sorted(f"line{i}" for i in range(20))
+
+    with pytest.raises(Exception):
+        C.run_config_pipeline(spark, df, "to shell 'exit 3';", str(tmp_path / "o2"))
+    with pytest.raises(C.ConfigError, match="quoted command"):
+        C.run_config_pipeline(spark, df, "to shell;", str(tmp_path / "o3"), dry_run=True)
+
+
+def test_write_shell_parallel_partitions(spark, tmp_path):
+    """K4 batch form: one subprocess per partition in parallel ($$ gives
+    each a distinct output file); the union of outputs is exactly the
+    input rows."""
+    from beholder_spark import sinks as sk
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    df = spark.createDataFrame([(f"r{i}",) for i in range(100)], ["payload"]).repartition(4)
+    sk.write_shell(df, f"cat > {d}/out.$$")
+    got = sorted(ln for f in d.iterdir() for ln in f.read_text().splitlines())
+    assert got == sorted(f"r{i}" for i in range(100))
