@@ -9,8 +9,10 @@ doubles so the DuckDB oracle reproduces them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Marker stopwords per language (priority order = tie-break order).
 LANG_MARKERS: dict[str, list[str]] = {
@@ -24,17 +26,41 @@ LANG_MARKERS: dict[str, list[str]] = {
 # BPE-ish token regex: letter runs, digit runs, else single non-space char.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
+# GPT-2-STYLE pre-tokenizer, SPEC-PINNED to the Java∩RE2 regex subset so
+# Spark and the DuckDB oracle count identically: English contractions,
+# optionally-space-prefixed letter/digit/punctuation runs, whitespace
+# runs. Differs from the published GPT-2 pattern ONLY in dropping the
+# `\s+(?!\S)` lookahead (RE2 has no lookahead) — token BOUNDARIES on
+# multi-space runs may differ from GPT-2's, the SPEC here is this
+# pattern verbatim. Both engines use leftmost-first alternation.
+PRETOK_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+# Pinned BPE merge table (priority = list index). A deliberately small,
+# frozen vocabulary of common English pairs: the point is the EXACT BPE
+# algorithm (iterative highest-priority pair merge, the published
+# Sennrich/GPT-2 procedure) behind the same column contract — swapping
+# in a production vocabulary's full merge list changes ONLY this table.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("e", "r"), ("an", "d"), ("in", "g"), ("o", "u"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "r"), ("t", "i"),
+    ("s", "t"), ("a", "l"), ("o", "f"), ("i", "t"), ("a", "s"),
+    ("e", "d"), ("i", "s"), ("o", "w"), ("l", "l"),
+]
+
 
 def _tokens(col: str) -> Column:
     return F.split(F.col(col), " ")
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex token count."""
+    """Token counting: whitespace tokens + BPE-ish regex count + the
+    spec-pinned GPT-2-style pre-tokenizer count — all codegen'd."""
     toks = _tokens(text_col)
     return (
         df.withColumn("n_tokens", F.size(toks))
         .withColumn("n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX)))
+        .withColumn("n_pretok_tokens", F.regexp_count(F.col(text_col), F.lit(PRETOK_REGEX)))
         .withColumn("n_chars_text", F.length(F.col(text_col)))
     )
 
@@ -129,11 +155,76 @@ def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("dominant_script", expr)
 
 
+def with_bpe_tokens(df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_exact") -> DataFrame:
+    """EXACT BPE token count over the pinned :data:`BPE_MERGES` table:
+    pre-tokenize JVM-side with :data:`PRETOK_REGEX` (codegen, and the
+    identical pattern the counting contract pins), then run the real
+    iterative merge loop per pre-token in an Arrow pandas UDF.
+
+    Non-SQL-expressible (the merge loop is iterative-until-fixpoint), so
+    correctness is pytest-golden (hand-computed merges) rather than
+    DuckDB-oracled. At 100 TB this is one Arrow UDF stage fused after
+    the scan — the same cost shape as parse_syslog; per-pretoken work is
+    bounded by token length, not document length."""
+    pretoks = F.regexp_extract_all(F.col(text_col), F.lit(PRETOK_REGEX), 0)
+    return df.withColumn(out_col, _bpe_count_udf(pretoks))
+
+
+def _bpe_count_one(toks, ranks: dict) -> int | None:
+    if toks is None:
+        return None
+    total = 0
+    for tok in toks:
+        syms = list(tok)
+        while len(syms) > 1:
+            best_pair, best_rank = None, None
+            for j in range(len(syms) - 1):
+                r = ranks.get((syms[j], syms[j + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_pair, best_rank = (syms[j], syms[j + 1]), r
+            if best_pair is None:
+                break
+            merged, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and (syms[j], syms[j + 1]) == best_pair:
+                    merged.append(syms[j] + syms[j + 1])
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            syms = merged
+        total += len(syms)
+    return total
+
+
+_BPE_RANKS = {pair: i for i, pair in enumerate(BPE_MERGES)}
+
+
+# NB: a TYPE OBJECT, not a DDL string — DDL parsing needs a live session,
+# which the executor's Python worker (re-importing this module) lacks
+@F.pandas_udf(T.IntegerType())
+def _bpe_count_udf(pretoks: pd.Series) -> pd.Series:
+    return pd.Series([_bpe_count_one(t, _BPE_RANKS) for t in pretoks], dtype="Int32")
+
+
+def token_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """The corpus token→document-frequency table (tok, tok_df): ONE
+    distinct-(doc,token) shuffle. Persist/write this once and feed it to
+    every :func:`rare_token_stats` variant (different thresholds, doc
+    subsets) instead of re-aggregating the corpus per query — at 100 TB
+    the df table is the expensive pass and it is threshold-independent."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+    )
+    return toks.groupBy("tok").agg(F.countDistinct(id_col).alias("tok_df"))
+
+
 def rare_token_stats(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     max_doc_freq: int = 2,
+    freq: DataFrame | None = None,
 ) -> DataFrame:
     """Rare-token (OOV-ish) quality signal: per document, how many of its
     DISTINCT tokens appear in ≤ ``max_doc_freq`` documents corpus-wide —
@@ -151,7 +242,8 @@ def rare_token_stats(
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.countDistinct(id_col).alias("tok_df"))
+    if freq is None:
+        freq = token_df(df, id_col, text_col)
     marked = toks.join(freq, "tok")
     return marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_distinct_tokens"),

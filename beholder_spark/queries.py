@@ -870,20 +870,38 @@ from beholder_spark.operators import multimodal, similarity, textstats  # noqa: 
 _STOP = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS["en"])
 
 
+_PRETOK_SQL = textstats.PRETOK_REGEX.replace("'", "''")
+
+
 @_register(
     "textstats_tokens",
     rf"""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '{textstats.TOKEN_REGEX}')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '{_PRETOK_SQL}')) AS n_pretok_tokens,
            length(text) AS n_chars_text
     FROM documents
     """,
 )
 def textstats_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace + BPE-ish regex, all codegen'd."""
+    """Token counting: whitespace + BPE-ish regex + the spec-pinned
+    GPT-2-style pre-tokenizer (Java∩RE2 pattern shared verbatim with the
+    oracle, SQL-quoting aside) — all codegen'd, zero Python."""
     df = textstats.with_token_stats(_t(spark, sf_dir, "documents"))
-    return df.select("doc_id", "n_tokens", "n_bpe_tokens", "n_chars_text")
+    return df.select("doc_id", "n_tokens", "n_bpe_tokens", "n_pretok_tokens", "n_chars_text")
+
+
+@_register("textstats_bpe_tokens", None)
+def textstats_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT BPE token counts over the pinned merge table
+    (textstats.BPE_MERGES — the real Sennrich/GPT-2 iterative merge
+    procedure, swap in a production vocabulary by replacing the table).
+    Rows-only by design: the merge loop is iterative-until-fixpoint,
+    not SQL-expressible; exactness is pinned by hand-computed goldens in
+    test_pipeline_e2e instead."""
+    df = textstats.with_bpe_tokens(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "n_bpe_exact")
 
 
 @_register(

@@ -258,3 +258,49 @@ def test_curation_pipeline_checkpointed_resume(spark, tmp_path):
     for r in per_run:
         assert r["mn"] == 0, f"stage {r['stage']}: resume should write 0 rows"
         assert r["mx"] > 0, f"stage {r['stage']}: first run should write rows"
+
+
+def test_bpe_token_count_goldens(spark):
+    """Exact BPE over the pinned merge table — hand-computed goldens.
+
+    With BPE_MERGES priorities: 'the' → th→the (1); 'and' → an→and (1);
+    'ing' → in→ing (1); 'that' → th + at (2); an unmergeable pretoken
+    counts its characters; contractions split off per PRETOK_REGEX."""
+    from beholder_spark.operators import textstats as ts
+
+    rows = [
+        (1, "the"),  # (t,h) then (th,e) → 1 symbol
+        (2, "and ing"),  # two pretokens (' ing' → space-prefixed): 1 + ?
+        (3, "that"),  # th + at → 2
+        (4, "xyzq"),  # no merges apply → 4 chars
+        (5, "don't"),  # pretokens: "don" (d,on→2) + "'t" (no merge → 2)
+        (6, None),
+    ]
+    df = ts.with_bpe_tokens(spark.createDataFrame(rows, ["id", "text"]))
+    got = {r.id: r.n_bpe_exact for r in df.collect()}
+    assert got[1] == 1
+    assert got[3] == 2
+    assert got[4] == 4
+    assert got[6] is None
+    # 'and' → 1; ' ing': symbols [' ','i','n','g'] → (i,n),(in,g) → [' ','ing'] = 2
+    assert got[2] == 1 + 2
+    # 'don': (o,n) → ['d','on'] = 2 ; "'t": no merge for ("'",'t') → 2
+    assert got[5] == 2 + 2
+
+
+def test_rare_token_stats_freq_reuse(spark):
+    """The precomputed token-df table gives IDENTICAL results to the
+    inline aggregate — the reuse contract for sweeping thresholds/subsets
+    without re-aggregating the corpus."""
+    from beholder_spark.operators import textstats as ts
+
+    rows = [(i, f"common tok{i} shared{'x' if i % 2 else ''}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    freq = ts.token_df(df, "doc_id").persist()
+    inline = ts.rare_token_stats(df, "doc_id").collect()
+    reused = ts.rare_token_stats(df, "doc_id", freq=freq).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
+    # and the table actually carries corpus frequencies
+    f = {r.tok: r.tok_df for r in freq.collect()}
+    assert f["common"] == 20 and f["tok3"] == 1
+    freq.unpersist()
