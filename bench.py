@@ -259,15 +259,26 @@ def main_bench() -> None:
     best_spark_calib = min(spark_calib)
     ref = CALIB_REF["spark_parse_sec"]
     host_slowdown = round(max(1.0, best_spark_calib / ref), 3) if ref else None
+    # PER-RUN normalization: contention fluctuates at seconds scale, so a
+    # global min-of-samples can catch a calm gap no 90s pipeline run fits
+    # into (measured: calib 0.86s best sample while every run held ~94s
+    # under sustained contention whose adjacent samples read 1.9-7.2s).
+    # Each run is bracketed by the samples before/after it; its slowdown
+    # is the smaller bracket (conservative), and the headline normalized
+    # value is the best per-run estimate.
+    per_run_norm = []
+    for i, (s, _) in enumerate(timed):
+        bracket = min(spark_calib[i], spark_calib[i + 1])
+        sl = max(1.0, bracket / ref) if ref else 1.0
+        per_run_norm.append(round(sl * docs / s, 1))
     print(
         json.dumps(
             {
                 "metric": "e2e parse→enrich→route→aggregate throughput",
                 "value": round(docs / sec, 1),
                 "unit": "docs/sec",
-                "value_noise_normalized": (
-                    round(host_slowdown * docs / sec, 1) if host_slowdown else None
-                ),
+                "value_noise_normalized": max(per_run_norm) if per_run_norm else None,
+                "value_noise_normalized_per_run": per_run_norm,
                 "host_slowdown": host_slowdown,
                 "calib_spark_parse_samples": spark_calib,
                 "calib_samples": calib_samples,
@@ -298,7 +309,11 @@ def main_scaling_child(cores: int) -> None:
     spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     pages_path, lookup_path = ensure_bench_tables(spark)
     run_pipeline_once(spark, pages_path, lookup_path)  # warm-up
-    runs = [run_pipeline_once(spark, pages_path, lookup_path) for _ in range(SCALING_RUNS)]
+    runs = []
+    calib = [calibrate_spark(spark)]
+    for _ in range(SCALING_RUNS):
+        runs.append(run_pipeline_once(spark, pages_path, lookup_path))
+        calib.append(calibrate_spark(spark))
     secs = sorted(round(s, 2) for s, _ in runs)
     docs = runs[0][1]
     print(
@@ -309,6 +324,10 @@ def main_scaling_child(cores: int) -> None:
                 "median_sec": secs[len(secs) // 2],
                 "docs": docs,
                 "runs_sec": secs,
+                # contention forensics: parse-shaped calibration bracketing
+                # each run (see CALIB_REF) — lets a reader tell an engine
+                # scaling loss from a host-interference window
+                "calib_parse_sec": calib,
             }
         )
     )
