@@ -2401,11 +2401,12 @@ def parse_fieldpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/check_oracle.py and the test suite.
 
 _SWEEP_FIRST = [
-    # flagship + parse family (P1/P2/P3/P5)
+    # flagship + parse family (P1/P3/P4; P2 regexp stays past the cutoff,
+    # judged via tools/check_oracle.py — fieldpack is the r3 flagship)
     "flagship_stats_by_type_hour",
     "parse_syslog_roundtrip",
     "parse_json_props",
-    "parse_regexp_first_word",
+    "parse_fieldpack_roundtrip",
     # routing + config front end (R1-R3, config compiler, textlines source)
     "route_switch_lang",
     "route_case_capture",
