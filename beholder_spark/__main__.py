@@ -25,12 +25,26 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="beholder_spark")
-    p.add_argument("--pages", required=True, help="input pages table path")
+    p.add_argument("--pages", help="input pages table path (required except --daemon with `from udp`)")
     p.add_argument("--lookup", help="host lookup table path (required without --config)")
     p.add_argument("--out", required=True, help="output root (sinks + _manifest/_lineage)")
     p.add_argument("--config", help="Beholder config text file (optional)")
     p.add_argument("--no-checkpoint", action="store_true", help="disable lineage/resume")
     p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    p.add_argument(
+        "--daemon",
+        action="store_true",
+        help="run the config as a LONG-RUNNING stream (`beholder -c conf` parity): "
+        "`from udp` configs get the datagram bridge; otherwise --pages is "
+        "tailed as a file stream. SIGHUP or editing the config hot-reloads.",
+    )
+    p.add_argument("--checkpoint", help="streaming checkpoint dir (daemon mode; default <out>/_checkpoint)")
+    p.add_argument(
+        "--daemon-seconds",
+        type=float,
+        default=None,
+        help="stop the daemon after N seconds (default: run until Ctrl-C/stop)",
+    )
     args = p.parse_args(argv)
 
     from beholder_spark.session import get_spark, ship_package
@@ -38,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("beholder-spark-job", master=args.master)
     ship_package(spark)
 
+    if args.daemon:
+        if not args.config:
+            p.error("--daemon requires --config")
+        return _run_daemon(spark, p, args)
+
+    if not args.pages:
+        p.error("--pages is required")
     if args.config:
         from beholder_spark.config import run_config_pipeline
 
@@ -60,6 +81,58 @@ def main(argv: list[str] | None = None) -> int:
         lin = ln.read_lineage(spark, args.out)
         if lin is not None:
             lin.orderBy("run_id").show(truncate=False)
+    return 0
+
+
+def _run_daemon(spark, p, args) -> int:
+    """Daemon execution (`beholder -c config` parity): `from udp` configs
+    get the datagram→spool bridge; others tail --pages as a file stream
+    under the hot-reload supervisor (SIGHUP / config-mtime swap)."""
+    import os
+    import time
+
+    from beholder_spark import config as C
+
+    ckpt = args.checkpoint or os.path.join(args.out, "_checkpoint")
+    with open(args.config) as f:
+        text = f.read()
+    cmds = C.parse_config(text)
+    first_from = next((c for c in cmds if c.name == "from"), None)
+    deadline = time.monotonic() + args.daemon_seconds if args.daemon_seconds else None
+
+    if first_from is not None and first_from.args and first_from.args[0].value == "udp":
+        q, bridges = C.run_config_udp_daemon(spark, text, args.out, ckpt)
+        print(f"daemon: listening udp port {bridges[0].port} → {args.out}", flush=True)
+        try:
+            while q.isActive and (deadline is None or time.monotonic() < deadline):
+                q.awaitTermination(2)
+        finally:
+            q.stop()
+            for b in bridges:
+                b.stop()
+        return 0
+
+    if not args.pages:
+        p.error("--daemon without a `from udp` config requires --pages (streaming source dir)")
+    schema = spark.read.parquet(args.pages).schema
+    sup = C.ConfigStreamSupervisor(
+        spark,
+        args.config,
+        lambda: spark.readStream.schema(schema).parquet(args.pages),
+        args.out,
+        ckpt,
+    ).start()
+    sup.install_sighup()
+    sup.watch()
+    print(f"daemon: streaming {args.pages} → {args.out} (SIGHUP/config-edit reloads)", flush=True)
+    try:
+        while deadline is None or time.monotonic() < deadline:
+            q = sup.query
+            q.awaitTermination(2)
+            if not sup.query.isActive and sup.query is q:
+                break  # stopped and not replaced by a reload
+    finally:
+        sup.stop()
     return 0
 
 

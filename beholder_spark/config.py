@@ -898,13 +898,19 @@ class ConfigStreamSupervisor:
         self._start_query(text)
         return True
 
-    def install_sighup(self) -> None:
-        """Register the real SIGHUP handler (call from the driver's main
-        thread). The handler only flags; the watcher thread performs the
-        swap — signal-handler-safe."""
+    def install_sighup(self) -> bool:
+        """Register the real SIGHUP handler (driver main thread only —
+        Python restricts signal.signal to it; returns False when called
+        elsewhere, e.g. an embedded/test thread, where the mtime watcher
+        alone drives reloads). The handler only flags; the watcher thread
+        performs the swap — signal-handler-safe."""
         import signal
 
-        signal.signal(signal.SIGHUP, lambda *_: setattr(self, "_hup", True))
+        try:
+            signal.signal(signal.SIGHUP, lambda *_: setattr(self, "_hup", True))
+            return True
+        except ValueError:  # not the main thread
+            return False
 
     def watch(self, poll_secs: float = 1.0) -> None:
         """Start the reload watcher: polls config mtime + the SIGHUP flag."""

@@ -638,3 +638,55 @@ def test_write_shell_parallel_partitions(spark, tmp_path):
     sk.write_shell(df, f"cat > {d}/out.$$")
     got = sorted(ln for f in d.iterdir() for ln in f.read_text().splitlines())
     assert got == sorted(f"r{i}" for i in range(100))
+
+
+def test_cli_daemon_udp(spark, tmp_path):
+    """`python -m beholder_spark --daemon -c <conf>` parity: a `from udp`
+    config starts the bridge + stream from the CLI entry point, live
+    datagrams land in the manifested sink, and --daemon-seconds bounds
+    the run (the test handle for Beholder's run-forever default)."""
+    import socket
+    import threading
+    import time
+
+    from beholder_spark.__main__ import main
+    from beholder_spark.plans import lineage as ln
+
+    probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    spool = tmp_path / "spool"
+    conf = tmp_path / "d.conf"
+    conf.write_text(
+        f"from udp {port} spool '{spool}';\nparse syslog keep-unparsed;\nkeep $severity $parse_ok;\n"
+    )
+    out = str(tmp_path / "out")
+    rc_box: list[int] = []
+    t = threading.Thread(
+        target=lambda: rc_box.append(
+            main(["--daemon", "--config", str(conf), "--out", out, "--daemon-seconds", "60"])
+        ),
+        daemon=True,
+    )
+    t.start()
+    time.sleep(3)  # bridge bind + stream start
+
+    cli = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    for i in range(15):
+        cli.sendto(f"<{i % 24}>1 2026-05-01T00:00:00Z h p - - - cli {i}".encode(), ("127.0.0.1", port))
+    cli.close()
+
+    def rows():
+        try:
+            return ln.read_stage(spark, out, "config_sink", "_batch").count()
+        except Exception:
+            return 0
+
+    deadline = time.monotonic() + 55
+    while rows() < 15 and time.monotonic() < deadline:
+        time.sleep(0.5)
+    assert rows() == 15
+    t.join(90)
+    assert rc_box == [0]
