@@ -181,6 +181,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     names = [
         "flagship_stats_by_type_hour",
         "parse_syslog_roundtrip",
+        "parse_fieldpack_roundtrip",
         "route_switch_lang",
         "enrich_broadcast_geo",
         "tpch_q1_pricing",
@@ -398,6 +399,8 @@ def main_scaling() -> None:
                 "scaling_efficiency_best": eff_min,
                 f"runs_sec_local{n}": results[n]["runs_sec"],
                 f"runs_sec_local{n4}": results[n4]["runs_sec"],
+                f"calib_parse_sec_local{n}": results[n].get("calib_parse_sec"),
+                f"calib_parse_sec_local{n4}": results[n4].get("calib_parse_sec"),
                 "pass": eff_min >= 0.8,
             }
         )
