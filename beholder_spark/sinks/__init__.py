@@ -125,6 +125,31 @@ def write_udp_stream(
     return w.start()
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-bucketed co-located table (SURVEY.md §4 'co-locate joins via
+    bucketing'): rows are hash-partitioned into ``n_buckets`` files by
+    ``key`` at WRITE time, so every later equi-join or aggregation on
+    ``key`` between tables bucketed with the SAME count reads co-located
+    buckets and needs NO exchange — the shuffle is paid once at table
+    maintenance and amortized over every downstream query. At 100 TB
+    that converts a per-query multi-TB shuffle into a per-ingest cost.
+    ``sortBy(key)`` additionally lets sort-merge join skip the per-bucket
+    sort when there is one file per bucket. Registered in the session
+    catalog (``saveAsTable`` — bucketing metadata lives in the catalog;
+    a plain path write cannot carry it)."""
+    w = df.write.mode(mode).format(SINK_FORMAT).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(name)
+
+
 def send_partition_to_shell(command: str, line_col: str):
     """K4 ``to shell 'command'`` executor-side sender: one subprocess per
     partition; the partition's rows stream newline-framed into its stdin,
