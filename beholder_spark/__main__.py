@@ -86,8 +86,11 @@ def main(argv: list[str] | None = None) -> int:
 
 def _run_daemon(spark, p, args) -> int:
     """Daemon execution (`beholder -c config` parity): `from udp` configs
-    get the datagram→spool bridge; others tail --pages as a file stream
-    under the hot-reload supervisor (SIGHUP / config-mtime swap)."""
+    get the datagram→spool bridge; others tail --pages as a file stream.
+    Both run under the hot-reload supervisor (SIGHUP / config-mtime swap
+    of the pipeline STAGES — for UDP configs the datagram listeners stay
+    bound across reloads; changing ports/spools needs a restart, the
+    spool directory being the stable handoff point)."""
     import os
     import time
 
@@ -100,39 +103,48 @@ def _run_daemon(spark, p, args) -> int:
     first_from = next((c for c in cmds if c.name == "from"), None)
     deadline = time.monotonic() + args.daemon_seconds if args.daemon_seconds else None
 
+    bridges = []
     if first_from is not None and first_from.args and first_from.args[0].value == "udp":
-        q, bridges = C.run_config_udp_daemon(spark, text, args.out, ckpt)
-        print(f"daemon: listening udp port {bridges[0].port} → {args.out}", flush=True)
-        try:
-            while q.isActive and (deadline is None or time.monotonic() < deadline):
-                q.awaitTermination(2)
-        finally:
-            q.stop()
-            for b in bridges:
-                b.stop()
-        return 0
+        # start the listeners once, from the declared specs; the
+        # supervisor's self-sourcing recompiles re-tail the same spools
+        from beholder_spark.sources import UdpSpoolBridge
 
-    if not args.pages:
-        p.error("--daemon without a `from udp` config requires --pages (streaming source dir)")
-    schema = spark.read.parquet(args.pages).schema
-    sup = C.ConfigStreamSupervisor(
-        spark,
-        args.config,
-        lambda: spark.readStream.schema(schema).parquet(args.pages),
-        args.out,
-        ckpt,
-    ).start()
-    sup.install_sighup()
-    sup.watch()
-    print(f"daemon: streaming {args.pages} → {args.out} (SIGHUP/config-edit reloads)", flush=True)
+        probe = C.compile_config(text)
+        probe(None, spark=spark)  # records udp_ingest (stream df discarded)
+        for spec in probe.udp_ingest:
+            b = UdpSpoolBridge(spec["spool"], port=spec["port"], flush_secs=0.2)
+            b.start()
+            bridges.append(b)
+        stream_factory = lambda: None  # noqa: E731 — self-sourcing config
+        banner = f"daemon: listening udp port {bridges[0].port} → {args.out}"
+    else:
+        if not args.pages:
+            p.error("--daemon without a `from udp` config requires --pages (streaming source dir)")
+        schema = spark.read.parquet(args.pages).schema
+        stream_factory = lambda: spark.readStream.schema(schema).parquet(args.pages)  # noqa: E731
+        banner = f"daemon: streaming {args.pages} → {args.out}"
+
+    sup = C.ConfigStreamSupervisor(spark, args.config, stream_factory, args.out, ckpt)
     try:
+        sup.start()
+        sup.install_sighup()
+        sup.watch()
+        print(f"{banner} (SIGHUP/config-edit reloads)", flush=True)
         while deadline is None or time.monotonic() < deadline:
             q = sup.query
+            gen = sup.generation
             q.awaitTermination(2)
-            if not sup.query.isActive and sup.query is q:
-                break  # stopped and not replaced by a reload
+            if not q.isActive:
+                # a reload may be mid-swap (old query stopped, new one
+                # not yet assigned): give it a grace period and only
+                # exit if no new generation appeared
+                time.sleep(2)
+                if sup.generation == gen and not sup.query.isActive:
+                    break
     finally:
         sup.stop()
+        for b in bridges:
+            b.stop()
     return 0
 
 

@@ -652,6 +652,13 @@ def run_config_pipeline(
     compiled = compile_config(config_text)
     if df is None:
         final = compiled(None, spark=spark)  # self-sourcing config
+        if final.isStreaming:
+            # fail with a front-end error here, not Spark's raw
+            # "streaming sources must be executed with writeStream" later
+            raise ConfigError(
+                "`from udp` / `from tcp` are streaming sources — run this "
+                "config via run_config_stream or run_config_udp_daemon"
+            )
         # persist the config-built scan so K sinks cost ONE source
         # computation — the same economics as the caller-df branch below
         src = compiled.source_df
@@ -887,15 +894,33 @@ class ConfigStreamSupervisor:
             return False
         try:
             # full dry validation BEFORE touching the running query:
-            # parse, compile, and force schema analysis on a fresh scan
+            # parse, compile, force schema analysis on a fresh scan, AND
+            # apply run_config_stream's own restrictions (a `to …` sink
+            # is valid batch config but would only fail inside
+            # _start_query — after the old query was already stopped)
             compiled = compile_config(text)
             compiled(self.stream_factory(), spark=self.spark).schema
+            if compiled.sinks:
+                raise ConfigError(
+                    "streaming mode runs the config's FINAL frame through "
+                    "the manifested sink; remove `to …` commands "
+                    f"(found {len(compiled.sinks)})"
+                )
         except Exception as e:  # noqa: BLE001 — any compile/analysis failure
             self.last_error = e
             return False
         self.last_error = None
+        old_text = self.config_text
         self.query.stop()  # micro-batch boundary; manifested sink is swap-safe
-        self._start_query(text)
+        try:
+            self._start_query(text)
+        except Exception as e:  # noqa: BLE001 — dry-validation gap
+            # the old query is already stopped: roll back to the old
+            # pipeline rather than leaving the daemon dead (if even the
+            # rollback fails, that is genuinely fatal — let it raise)
+            self.last_error = e
+            self._start_query(old_text)
+            return False
         return True
 
     def install_sighup(self) -> bool:
@@ -922,6 +947,12 @@ class ConfigStreamSupervisor:
 
         def loop():
             nonlocal mtime
+            # close the start()→watch() gap: an edit landing between the
+            # two would update the mtime baseline without ever being
+            # applied — reload() itself compares TEXT, so one initial
+            # call is a no-op unless that race actually happened
+            if self.query is not None:
+                self.reload()
             while not self._watch_stop.wait(poll_secs):
                 try:
                     m = os.path.getmtime(self.config_path)

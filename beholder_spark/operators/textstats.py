@@ -29,11 +29,14 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 # GPT-2-STYLE pre-tokenizer, SPEC-PINNED to the Java∩RE2 regex subset so
 # Spark and the DuckDB oracle count identically: English contractions,
 # optionally-space-prefixed letter/digit/punctuation runs, whitespace
-# runs. Differs from the published GPT-2 pattern ONLY in dropping the
-# `\s+(?!\S)` lookahead (RE2 has no lookahead) — token BOUNDARIES on
-# multi-space runs may differ from GPT-2's, the SPEC here is this
-# pattern verbatim. Both engines use leftmost-first alternation.
-PRETOK_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# runs. Differences from the published GPT-2 pattern, both pinned by
+# SPEC: (1) the `\s+(?!\S)` lookahead is dropped (RE2 has no lookahead),
+# so token BOUNDARIES on multi-space runs may differ; (2) whitespace is
+# the EXPLICIT class [ \t\n\f\r] — `\s` itself is NOT dialect-identical
+# (Java's includes \x0B, RE2's does not), so a bare `\s` would make the
+# two engines disagree on vertical-tab text. \x0B therefore counts as
+# punctuation on BOTH engines. Leftmost-first alternation on both.
+PRETOK_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+"
 
 # Pinned BPE merge table (priority = list index). A deliberately small,
 # frozen vocabulary of common English pairs: the point is the EXACT BPE

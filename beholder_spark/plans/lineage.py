@@ -64,7 +64,10 @@ def read_manifest(spark: SparkSession, root: str) -> DataFrame | None:
 def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
     path = os.path.join(root, LINEAGE)
     try:
-        return spark.read.parquet(path)
+        # mergeSchema: lineage columns may grow across engine versions
+        # (e.g. dropped_overflow, added r3) — a root resumed across the
+        # upgrade holds files with both shapes; old rows read as NULL
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except Exception:
         return None
 
@@ -184,8 +187,12 @@ def run_stage(
         )
     # driver-side scalars computed OUTSIDE this stage's plan (e.g. the
     # sender-buffer overflow count — K5: rows dropped before the write,
-    # invisible to observe). Always materialized (0 default) so the
-    # lineage table keeps ONE schema across appends.
+    # invisible to observe). Always materialized (0 default) so new
+    # lineage files keep one schema; read_lineage merges older shapes.
+    # A REPLAYED batch (all rows already manifested → nothing newly
+    # committed) suppresses the count: its drops were recorded by the
+    # original attempt, and re-recording would double-count on sum.
+    overflow = int((extra_lineage or {}).get("dropped_overflow", 0)) if parts else 0
     _append(
         spark, root, LINEAGE,
         [{
@@ -194,7 +201,7 @@ def run_stage(
             "rows_out": int(got.get("rows_out", 0) or 0),
             "parse_failures": int(got.get("parse_failures", 0) or 0),
             "dropped": int(got.get("dropped", 0) or 0),
-            "dropped_overflow": int((extra_lineage or {}).get("dropped_overflow", 0)),
+            "dropped_overflow": overflow,
             "wall_ms": wall_ms,
             "n_partitions": len(parts),
         }],

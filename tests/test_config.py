@@ -502,6 +502,12 @@ def test_config_from_udp_compile_errors(spark):
         C.compile_config("from udp 99999 spool '/tmp/x';")(None, spark=spark)
     with pytest.raises(C.ConfigError, match="from udp"):
         C.run_config_udp_daemon(spark, "from timer 5;", "/tmp/u1", "/tmp/u2")
+    # streaming sources through the BATCH runner fail with a front-end
+    # error, not Spark's raw writeStream AnalysisException
+    with pytest.raises(C.ConfigError, match="streaming sources"):
+        C.run_config_pipeline(
+            spark, None, "from udp 0 spool '/tmp/spx'; to file 'y';", "/tmp/ux", dry_run=True
+        )
 
 
 def test_config_hot_reload_swaps_pipeline(spark, tmp_path):
@@ -547,6 +553,15 @@ def test_config_hot_reload_swaps_pipeline(spark, tmp_path):
         # broken rewrite: reload refuses the swap, old pipeline keeps running
         gen = sup.generation
         cfg.write_text("parse syslog keep-unparsed; set $ver bogusfn $x; keep $ver;")
+        assert sup.reload() is False
+        assert isinstance(sup.last_error, C.ConfigError)
+        assert sup.generation == gen and sup.query.isActive
+
+        # batch-only rewrite (`to …` sink): valid batch config, but the
+        # streaming runner rejects it — reload must refuse BEFORE stopping
+        # the old query (regression: the old dry pass missed the sink
+        # check and killed the pipeline)
+        cfg.write_text("parse syslog keep-unparsed; to file 'x';")
         assert sup.reload() is False
         assert isinstance(sup.last_error, C.ConfigError)
         assert sup.generation == gen and sup.query.isActive

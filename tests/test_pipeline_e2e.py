@@ -304,3 +304,49 @@ def test_rare_token_stats_freq_reuse(spark):
     f = {r.tok: r.tok_df for r in freq.collect()}
     assert f["common"] == 20 and f["tok3"] == 1
     freq.unpersist()
+
+
+def test_bpe_matches_independent_implementation_on_corpus(spark):
+    """Corpus-scale BPE verifier (the oracle-gate stand-in for a
+    non-SQL-expressible op): Spark's n_bpe_exact over 100 real documents
+    equals an INDEPENDENTLY-STRUCTURED BPE — lowest-rank-first with
+    restart after every successful merge, a different control flow from
+    the operator's scan-for-best-pair loop."""
+    from beholder_spark.operators import textstats as ts
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    got = {r.doc_id: r.n_bpe_exact for r in ts.with_bpe_tokens(docs).collect()}
+
+    # shared pre-tokenization (the pinned JVM regex), independent merges
+    pre = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(ts.PRETOK_REGEX), F.lit(0)).alias("toks"),
+    ).collect()
+    ranks = list(ts.BPE_MERGES)
+
+    def merge_restart(tok: str) -> int:
+        syms = list(tok)
+        restart = True
+        while restart and len(syms) > 1:
+            restart = False
+            for a, b in ranks:  # lowest rank first; restart on success
+                j = 0
+                merged_any = False
+                while j < len(syms) - 1:
+                    if syms[j] == a and syms[j + 1] == b:
+                        syms[j : j + 2] = [a + b]
+                        merged_any = True
+                    else:
+                        j += 1
+                if merged_any:
+                    restart = True
+                    break
+        return len(syms)
+
+    for r in pre:
+        expected = sum(merge_restart(t) for t in r.toks) if r.toks is not None else None
+        assert got[r.doc_id] == expected, r.doc_id
