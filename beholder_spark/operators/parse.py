@@ -218,6 +218,12 @@ def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         val |= (b & 0x7F) << shift
         if not b & 0x80:
+            if b == 0 and shift > 0:
+                # overlong encoding (0x80 0x00 for zero, …): reject so
+                # every accepted frame is CANONICAL — unpack∘pack is
+                # identity on accepted bytes, which keeps md5-of-frame
+                # usable as a content key
+                raise ValueError("non-canonical uvarint")
             return val, pos
         shift += 7
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from beholder_spark.config import Token, template_fields, tokenize
@@ -114,3 +114,37 @@ def test_template_fields_found(chars):
     assert template_fields(f"pre {{${name}}} post") == [name]
     assert template_fields(f"pre ${name}") == [name]
     assert template_fields("no fields here") == []
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(st.characters(blacklist_categories=("Cs",)), max_size=30),
+        st.one_of(st.none(), st.text(st.characters(blacklist_categories=("Cs",)), max_size=200)),
+        max_size=12,
+    )
+)
+def test_fieldpack_roundtrip_property(fields):
+    """P4 codec: pack∘unpack is identity on the non-NULL entries for
+    ARBITRARY unicode keys/values (quotes, newlines, emoji, multi-byte
+    boundaries exercising the LEB128 lengths)."""
+    from beholder_spark.operators.parse import fieldpack_pack, fieldpack_unpack
+
+    got = fieldpack_unpack(fieldpack_pack(fields))
+    assert got == {k: v for k, v in fields.items() if v is not None}
+
+
+@settings(max_examples=500, deadline=None)
+@example(bytes([0xFB, 0x01, 0x80, 0x00]))  # overlong uvarint: must be rejected
+@given(st.binary(max_size=200))
+def test_fieldpack_unpack_never_crashes(buf):
+    """Fuzz the strict decoder: arbitrary bytes either decode to a dict
+    (valid frame) or return None — never raise (a crashing parser would
+    fail whole Arrow batches on one poison frame)."""
+    from beholder_spark.operators.parse import fieldpack_pack, fieldpack_unpack
+
+    out = fieldpack_unpack(buf)
+    assert out is None or isinstance(out, dict)
+    if out is not None:
+        # any ACCEPTED frame must be canonical: re-packing reproduces it
+        assert fieldpack_pack(out) == bytes(buf)
