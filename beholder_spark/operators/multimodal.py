@@ -155,3 +155,231 @@ def sample_frames(df: DataFrame, bin_col: str, id_col: str, every_n_bytes: int =
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for uncompressed formats (r3). The container has no
+# image/audio libs, but BMP/PPM/WAV-PCM need none: BMP and PPM are
+# length-prefixed raster dumps and WAV-PCM is parsed by the stdlib
+# `wave` module. Only COMPRESSED codecs (JPEG/PNG pixels, MP3, video)
+# remain behind the documented stub. Decode SPEC, pinned here:
+#   - BMP: 'BM' magic, BITMAPINFOHEADER, 24-bit, uncompressed only;
+#     rows bottom-up, padded to 4 bytes; stored channel order is BGR,
+#     outputs are LOGICAL RGB channel sums (integer-exact → DuckDB
+#     oracle reproducible).
+#   - PPM: binary 'P6', maxval 255.
+#   - WAV: stdlib wave; mono/stereo 16-bit PCM; outputs n_channels,
+#     sample_rate, n_samples, and the integer sum of samples.
+#   Any violation → parse_ok False, other fields NULL (P7 contract).
+# ---------------------------------------------------------------------------
+
+IMAGE_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("parse_ok", T.BooleanType(), True),
+    ]
+)
+
+_FAIL = (None, None, None, None, None, None, False)
+
+
+def decode_bmp_bytes(payload: bytes | None) -> tuple:
+    """Parse a 24-bit uncompressed BMP: header fields + per-channel pixel
+    sums (numpy over the raster; padding stripped, bottom-up respected)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return _FAIL
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return _FAIL
+    bottom_up = h > 0
+    h_abs = abs(h)
+    row_stride = (w * 3 + 3) & ~3  # rows padded to 4-byte multiples
+    need = data_off + row_stride * h_abs
+    if len(payload) < need:
+        return _FAIL
+    raster = np.frombuffer(payload, dtype=np.uint8, count=row_stride * h_abs, offset=data_off)
+    rows = raster.reshape(h_abs, row_stride)[:, : w * 3].reshape(h_abs, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    sums = rows.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    # stored BGR → logical RGB
+    return (w, h_abs, "bmp24", int(sums[2]), int(sums[1]), int(sums[0]), True)
+
+
+def decode_ppm_bytes(payload: bytes | None) -> tuple:
+    """Parse binary PPM ('P6', maxval 255): dims + RGB channel sums."""
+    import re as _re
+
+    import numpy as np
+
+    if payload is None or not payload.startswith(b"P6"):
+        return _FAIL
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    m = _re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if m is None:
+        return _FAIL
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255 or w <= 0 or h <= 0:
+        return _FAIL
+    off = m.end()
+    if len(payload) < off + w * h * 3:
+        return _FAIL
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    return (w, h, "ppm", int(sums[0]), int(sums[1]), int(sums[2]), True)
+
+
+def decode_image_bytes(payload: bytes | None) -> tuple:
+    """Magic-byte dispatch: real decode for BMP/PPM, fail-closed else."""
+    if payload is None:
+        return _FAIL
+    if payload[:2] == b"BM":
+        return decode_bmp_bytes(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm_bytes(payload)
+    return _FAIL
+
+
+def decode_image(df: DataFrame, bin_col: str, out_prefix: str = "dec_") -> DataFrame:
+    """REAL image decode over a binary column (BMP/PPM — see module
+    SPEC) via the same mapInPandas shape as :func:`decode_binary`; a
+    compressed or malformed payload quarantines with parse_ok False."""
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [T.StructField(out_prefix + f.name, f.dataType, True) for f in IMAGE_DECODED_SCHEMA.fields]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf[bin_col].map(decode_image_bytes)
+            for i, f in enumerate(IMAGE_DECODED_SCHEMA.fields):
+                pdf[out_prefix + f.name] = decoded.map(lambda t, i=i: t[i])
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+AUDIO_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_samples", T.LongType(), True),
+        T.StructField("parse_ok", T.BooleanType(), True),
+    ]
+)
+
+
+def decode_wav_bytes(payload: bytes | None) -> tuple:
+    """Parse WAV 16-bit PCM via the stdlib wave module: header fields +
+    integer sample sum (numpy int16 view of the frame bytes)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload is None:
+        return (None, None, None, None, False)
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                return (None, None, None, None, False)
+            nch, rate, n = wf.getnchannels(), wf.getframerate(), wf.getnframes()
+            frames = wf.readframes(n)
+    except (wave.Error, EOFError):
+        return (None, None, None, None, False)
+    samples = np.frombuffer(frames, dtype="<i2")
+    return (nch, rate, n, int(samples.astype(np.int64).sum()), True)
+
+
+def decode_audio(df: DataFrame, bin_col: str, out_prefix: str = "au_") -> DataFrame:
+    """REAL audio decode (WAV 16-bit PCM) over a binary column."""
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [T.StructField(out_prefix + f.name, f.dataType, True) for f in AUDIO_DECODED_SCHEMA.fields]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf[bin_col].map(decode_wav_bytes)
+            for i, f in enumerate(AUDIO_DECODED_SCHEMA.fields):
+                pdf[out_prefix + f.name] = decoded.map(lambda t, i=i: t[i])
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def make_bmp_bytes(w: int, h: int, g: int) -> bytes:
+    """Deterministic 24-bit BMP fixture: pixel (x, y) = RGB((x+y) % 256,
+    g, 7), rows bottom-up with standard padding. Used by tests and the
+    oracle roundtrip query (sums have closed forms for small dims)."""
+    import struct
+
+    row_stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y_file in range(h):  # file order is bottom-up
+        y = h - 1 - y_file
+        row = bytearray()
+        for x in range(w):
+            r = (x + y) % 256
+            row += bytes((7, g, r))  # stored BGR
+        row += b"\x00" * (row_stride - len(row))
+        raster += row
+    size = 54 + len(raster)
+    header = (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    )
+    return bytes(header + raster)
+
+
+def make_wav_bytes(n: int) -> bytes:
+    """Deterministic mono 16-bit PCM WAV fixture: sample i = (i % 97) - 48
+    at 8000 Hz — the sum has a closed form for n <= 97."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack(f"<{n}h", *(((i % 97) - 48) for i in range(n))))
+    return buf.getvalue()
+
+
+@F.pandas_udf(T.BinaryType())
+def _make_bmp_udf(cols: pd.DataFrame) -> pd.Series:
+    return pd.Series(
+        [make_bmp_bytes(int(w), int(h), int(g)) for w, h, g in cols.itertuples(index=False)]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _make_wav_udf(n: pd.Series) -> pd.Series:
+    return pd.Series([make_wav_bytes(int(v)) for v in n])
+
+
+def with_bmp_payload(df: DataFrame, w_col: str, h_col: str, g_col: str, out: str = "payload") -> DataFrame:
+    """Deterministic BMP fixture column (see :func:`make_bmp_bytes`)."""
+    return df.withColumn(out, _make_bmp_udf(F.struct(w_col, h_col, g_col)))
+
+
+def with_wav_payload(df: DataFrame, n_col: str, out: str = "payload") -> DataFrame:
+    """Deterministic WAV fixture column (see :func:`make_wav_bytes`)."""
+    return df.withColumn(out, _make_wav_udf(F.col(n_col)))

@@ -2385,6 +2385,84 @@ def parse_fieldpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select("event_id", "event_type", "uid", "props", "parse_ok")
 
 
+@_register(
+    "multimodal_bmp_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 13 + 3 AS w,
+             doc_id % 11 + 2 AS h,
+             doc_id % 256 AS g
+      FROM documents
+    )
+    SELECT doc_id, w, h, 'bmp24' AS fmt,
+           CAST(w * h * (w + h - 2) // 2 AS BIGINT) AS sum_r,
+           CAST(w * h * g AS BIGINT) AS sum_g,
+           CAST(w * h * 7 AS BIGINT) AS sum_b,
+           TRUE AS parse_ok
+    FROM p
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level image decode (not the stub): a deterministic
+    24-bit BMP is ENCODED per row (pixel (x,y) = RGB((x+y)%256, g, 7),
+    bottom-up rows, 4-byte padding, stored BGR) and DECODED back by
+    `multimodal.decode_bmp_bytes` (numpy over the raster). The oracle
+    recomputes the per-channel pixel sums in closed form — dims are kept
+    small so x+y < 256 and sum_r = w·h·(w+h−2)/2 exactly — so the hash
+    match proves a genuine encode→decode roundtrip at pixel granularity.
+    Compressed codecs (JPEG/PNG pixels) remain behind the documented
+    stub; BMP/PPM/WAV need no codec libs."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 13 + 3).alias("w"),
+        (F.col("doc_id") % 11 + 2).alias("h"),
+        (F.col("doc_id") % 256).alias("g"),
+    )
+    dec = multimodal.decode_image(multimodal.with_bmp_payload(docs, "w", "h", "g"), "payload")
+    return dec.select(
+        "doc_id", "w", "h",
+        F.col("dec_fmt").alias("fmt"),
+        F.col("dec_sum_r").alias("sum_r"),
+        F.col("dec_sum_g").alias("sum_g"),
+        F.col("dec_sum_b").alias("sum_b"),
+        F.col("dec_parse_ok").alias("parse_ok"),
+    )
+
+
+@_register(
+    "multimodal_wav_decode",
+    """
+    WITH p AS (SELECT doc_id, doc_id % 80 + 10 AS n FROM documents)
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           n AS n_samples,
+           CAST(n * (n - 1) // 2 - 48 * n AS BIGINT) AS sum_samples,
+           TRUE AS parse_ok
+    FROM p
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: a mono 16-bit PCM WAV (sample i = (i%97)−48,
+    8 kHz) is encoded per row and parsed back through the stdlib wave
+    reader + numpy sample sum. n ≤ 97 keeps the sample sum in closed
+    form (n(n−1)/2 − 48n), so the oracle verifies the PCM payload
+    sample-exactly, not just the header."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 80 + 10).alias("n")
+    )
+    dec = multimodal.decode_audio(multimodal.with_wav_payload(docs, "n"), "payload")
+    return dec.select(
+        "doc_id",
+        F.col("au_n_channels").alias("n_channels"),
+        F.col("au_sample_rate").alias("sample_rate"),
+        F.col("au_n_samples").alias("n_samples"),
+        F.col("au_sum_samples").alias("sum_samples"),
+        F.col("au_parse_ok").alias("parse_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sweep ordering
 # ---------------------------------------------------------------------------
