@@ -242,13 +242,16 @@ def decode_ppm_bytes(payload: bytes | None) -> tuple:
 
 
 def decode_image_bytes(payload: bytes | None) -> tuple:
-    """Magic-byte dispatch: real decode for BMP/PPM, fail-closed else."""
+    """Magic-byte dispatch: real decode for BMP/PPM/PNG, fail-closed
+    else (JPEG and friends stay in the documented stub domain)."""
     if payload is None:
         return _FAIL
     if payload[:2] == b"BM":
         return decode_bmp_bytes(payload)
     if payload[:2] == b"P6":
         return decode_ppm_bytes(payload)
+    if bytes(payload[:8]) == _PNG_SIG:
+        return decode_png_bytes(payload)
     return _FAIL
 
 
@@ -383,3 +386,140 @@ def with_bmp_payload(df: DataFrame, w_col: str, h_col: str, g_col: str, out: str
 def with_wav_payload(df: DataFrame, n_col: str, out: str = "payload") -> DataFrame:
     """Deterministic WAV fixture column (see :func:`make_wav_bytes`)."""
     return df.withColumn(out, _make_wav_udf(F.col(n_col)))
+
+
+def _png_defilter(data: bytes, w: int, h: int, ch: int):
+    """Reverse PNG scanline filtering (types 0–4). Up/Sub vectorize
+    (uint8 wraparound / per-lane cumsum); Average/Paeth are inherently
+    sequential per byte — fine for fixture-scale rasters, and at corpus
+    scale each image is one row's work inside an Arrow batch anyway."""
+    import numpy as np
+
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        if pos >= len(data):
+            raise ValueError("truncated raster")
+        f = data[pos]
+        pos += 1
+        if pos + stride > len(data):
+            raise ValueError("truncated raster")
+        row = np.frombuffer(data, np.uint8, stride, pos).copy()
+        pos += stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub: per-channel-lane prefix sum mod 256
+            r = row.reshape(w, ch).astype(np.uint32)
+            out[y] = (np.cumsum(r, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: uint8 addition wraps mod 256
+            out[y] = row + prev
+        elif f == 3:  # Average
+            o = out[y]
+            for x in range(stride):
+                a = int(o[x - ch]) if x >= ch else 0
+                o[x] = (int(row[x]) + (a + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            o = out[y]
+            for x in range(stride):
+                a = int(o[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                o[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter {f}")
+    return out
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit, non-interlaced)
+
+
+def decode_png_bytes(payload: bytes | None) -> tuple:
+    """REAL PNG decode (stdlib zlib + numpy defilter): 8-bit gray/RGB/
+    RGBA, non-interlaced, all five filter types, chunk CRCs verified.
+    Output matches the BMP/PPM shape; gray images report the gray sum in
+    all three channels; RGBA alpha is excluded from the sums (SPEC)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or not bytes(payload).startswith(_PNG_SIG):
+        return _FAIL
+    buf = bytes(payload)
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(buf):
+            length, typ = struct.unpack_from(">I4s", buf, pos)
+            data = buf[pos + 8 : pos + 8 + length]
+            if len(data) != length or pos + 12 + length > len(buf):
+                return _FAIL
+            (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                return _FAIL
+            pos += 12 + length
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+        if ihdr is None or not idat:
+            return _FAIL
+        w, h, depth, color, comp, filt, interlace = ihdr
+        ch = _PNG_CHANNELS.get(color)
+        if depth != 8 or ch is None or comp != 0 or filt != 0 or interlace != 0 or w == 0 or h == 0:
+            return _FAIL
+        raster = _png_defilter(zlib.decompress(bytes(idat)), w, h, ch)
+    except (struct.error, zlib.error, ValueError):
+        return _FAIL
+    px = raster.reshape(h, w, ch).astype(np.int64)
+    if ch == 1:
+        s = int(px.sum())
+        return (w, h, "png8-gray", s, s, s, True)
+    sums = px.reshape(-1, ch).sum(axis=0)
+    fmt = "png8-rgb" if ch == 3 else "png8-rgba"
+    return (w, h, fmt, int(sums[0]), int(sums[1]), int(sums[2]), True)
+
+
+def make_png_bytes(w: int, h: int, g: int) -> bytes:
+    """Deterministic 8-bit RGB PNG fixture (filter-0 rows, same pixel
+    formula as :func:`make_bmp_bytes` → same closed-form sums)."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type 0
+        for x in range(w):
+            raw += bytes((((x + y) % 256), g, 7))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _make_png_udf(cols: pd.DataFrame) -> pd.Series:
+    return pd.Series(
+        [make_png_bytes(int(w), int(h), int(g)) for w, h, g in cols.itertuples(index=False)]
+    )
+
+
+def with_png_payload(df: DataFrame, w_col: str, h_col: str, g_col: str, out: str = "payload") -> DataFrame:
+    return df.withColumn(out, _make_png_udf(F.struct(w_col, h_col, g_col)))

@@ -2463,6 +2463,47 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "multimodal_png_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 13 + 3 AS w,
+             doc_id % 11 + 2 AS h,
+             doc_id % 256 AS g
+      FROM documents
+    )
+    SELECT doc_id, w, h, 'png8-rgb' AS fmt,
+           CAST(w * h * (w + h - 2) // 2 AS BIGINT) AS sum_r,
+           CAST(w * h * g AS BIGINT) AS sum_g,
+           CAST(w * h * 7 AS BIGINT) AS sum_b,
+           TRUE AS parse_ok
+    FROM p
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (stdlib zlib inflate + all-five-filter defilter +
+    chunk CRC verification — `multimodal.decode_png_bytes`): the same
+    closed-form pixel-sum oracle as the BMP roundtrip, over a genuine
+    compressed PNG payload encoded per row. With this, JPEG/MP3/video
+    are the only formats left behind the documented stub."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 13 + 3).alias("w"),
+        (F.col("doc_id") % 11 + 2).alias("h"),
+        (F.col("doc_id") % 256).alias("g"),
+    )
+    dec = multimodal.decode_image(multimodal.with_png_payload(docs, "w", "h", "g"), "payload")
+    return dec.select(
+        "doc_id", "w", "h",
+        F.col("dec_fmt").alias("fmt"),
+        F.col("dec_sum_r").alias("sum_r"),
+        F.col("dec_sum_g").alias("sum_g"),
+        F.col("dec_sum_b").alias("sum_b"),
+        F.col("dec_parse_ok").alias("parse_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sweep ordering
 # ---------------------------------------------------------------------------

@@ -38,7 +38,7 @@ def test_bmp_decode_top_down_and_failures():
     bpp8 = bytearray(_bmp_2x1())
     bpp8[28:30] = struct.pack("<H", 8)
     assert mm.decode_bmp_bytes(bytes(bpp8))[-1] is False
-    assert mm.decode_image_bytes(b"\x89PNG\r\n")[-1] is False  # compressed → stub domain
+    assert mm.decode_image_bytes(b"\x89PNG\r\n")[-1] is False  # truncated PNG signature
 
 
 def test_ppm_decode_handcrafted_bytes():
@@ -87,3 +87,89 @@ def test_decode_image_spark_path_quarantines_mixed_batch(spark):
     assert got[1] == (4, 3, 4 * 3 * 9, True)
     assert got[2] == (None, None, None, False)
     assert got[3] == (None, None, None, False)
+
+
+def _png_forward_filter(pixels, f, ch):
+    """Independent FORWARD filter implementation (the test-side inverse
+    of the decoder's defilter): pixels is h×(w·ch) raw bytes."""
+    h = len(pixels)
+    out = bytearray()
+    prev = [0] * len(pixels[0])
+    for y in range(h):
+        row = pixels[y]
+        out.append(f)
+        for x in range(len(row)):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if (x >= ch and y > 0) else 0
+            b = b if y > 0 else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = (row[x] - a) & 0xFF
+            elif f == 2:
+                v = (row[x] - b) & 0xFF
+            elif f == 3:
+                v = (row[x] - (a + b) // 2) & 0xFF
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (row[x] - pred) & 0xFF
+            out.append(v)
+        prev = row
+    return bytes(out)
+
+
+def _png_wrap(raw, w, h, color):
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_every_filter_type_defilters_exactly():
+    """Each PNG filter type (0–4) round-trips: the test FORWARD-filters a
+    known 3×2 RGB raster with its own independent implementation; the
+    decoder must recover the exact channel sums."""
+    pixels = [
+        [10, 200, 30, 250, 5, 60, 90, 130, 170],
+        [15, 25, 35, 45, 55, 65, 75, 85, 95],
+    ]
+    exp = tuple(sum(row[i::3][j] for row in pixels for j in range(3)) for i in range(3))
+    for f in range(5):
+        raw = _png_forward_filter(pixels, f, 3)
+        got = mm.decode_png_bytes(_png_wrap(raw, 3, 2, 2))
+        assert got == (3, 2, "png8-rgb", *exp, True), f"filter {f}"
+
+
+def test_png_gray_rgba_and_failures():
+    import struct
+    import zlib
+
+    # gray: sum reported in all three channels
+    raw = bytes([0, 1, 2, 0, 3, 4])  # 2×2 gray, filter 0 rows
+    assert mm.decode_png_bytes(_png_wrap(raw, 2, 2, 0)) == (2, 2, "png8-gray", 10, 10, 10, True)
+    # RGBA: alpha excluded from sums
+    raw = bytes([0, 1, 2, 3, 255, 4, 5, 6, 255])
+    assert mm.decode_png_bytes(_png_wrap(raw, 2, 1, 6)) == (2, 1, "png8-rgba", 5, 7, 9, True)
+    # corrupted CRC fails closed
+    good = bytearray(mm.make_png_bytes(3, 2, 9))
+    good[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    assert mm.decode_png_bytes(bytes(good))[-1] is False
+    # 16-bit depth unsupported → fail-closed
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", zlib.compress(b"\x00" * 13)) + chunk(b"IEND", b"")
+    assert mm.decode_png_bytes(bad)[-1] is False
