@@ -131,6 +131,8 @@ def _run_daemon(spark, p, args) -> int:
         sup.watch()
         print(f"{banner} (SIGHUP/config-edit reloads)", flush=True)
         while deadline is None or time.monotonic() < deadline:
+            for b in bridges:
+                b.raise_if_failed()  # dead listener → exit non-zero, not idle
             q = sup.query
             gen = sup.generation
             q.awaitTermination(2)

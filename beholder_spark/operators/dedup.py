@@ -387,3 +387,6 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+        # the non-convergence path leaves the last round's labels persisted;
+        # on the success path this frame was already unpersisted (no-op here)
+        cached.unpersist()

@@ -203,6 +203,11 @@ def decode_bmp_bytes(payload: bytes | None) -> tuple:
     compression = struct.unpack_from("<I", payload, 30)[0]
     if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
         return _FAIL
+    # fail-closed: a data offset pointing INTO the headers (< 14-byte file
+    # header + DIB header) would decode header bytes as raster with
+    # parse_ok=True — that violates the P7 contract above
+    if data_off < 14 + hdr_size:
+        return _FAIL
     bottom_up = h > 0
     h_abs = abs(h)
     row_stride = (w * 3 + 3) & ~3  # rows padded to 4-byte multiples

@@ -145,6 +145,9 @@ class UdpSpoolBridge:
         self.flush_lines, self.flush_secs = flush_lines, flush_secs
         self.port: int | None = None
         self.received = 0
+        self.errors = 0
+        self.last_error: str | None = None
+        self.failed = False
         self._buf: list[str] = []
         self._lock = threading.Lock()
         self._seq = 0
@@ -163,6 +166,7 @@ class UdpSpoolBridge:
             import time as _time
 
             last = _time.monotonic()
+            consecutive = 0
             while not self._stop.is_set():
                 try:
                     data, _ = sock.recvfrom(65536)
@@ -171,34 +175,79 @@ class UdpSpoolBridge:
                     with self._lock:
                         self._buf.append(line)
                         self.received += 1
+                    consecutive = 0
                 except TimeoutError:
-                    pass
+                    consecutive = 0
+                except Exception as exc:  # noqa: BLE001 — never die silently
+                    # Never-silent-loss contract (SURVEY §2 P7): a transient
+                    # recvfrom/spool error must not kill the listener thread
+                    # while the daemon keeps looking healthy. Record it,
+                    # back off, retry; a sustained error burst marks the
+                    # bridge FAILED so raise_if_failed()/the daemon loop can
+                    # exit non-zero instead of idling with zero ingest.
+                    self._record_error(exc)
+                    consecutive += 1
+                    if consecutive >= 50:
+                        self.failed = True
+                        break
+                    _time.sleep(0.05)
                 now = _time.monotonic()
                 if self._buf and (
                     len(self._buf) >= self.flush_lines or now - last >= self.flush_secs
                 ):
-                    self.flush()
+                    try:
+                        self.flush()
+                    except Exception as exc:  # noqa: BLE001
+                        self._record_error(exc)  # lines were restored to _buf
                     last = now
-            self.flush()
+            try:
+                self.flush()
+            except Exception as exc:  # noqa: BLE001
+                self._record_error(exc)
+                self.failed = True
             sock.close()
 
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()
         return self.port
 
+    def _record_error(self, exc: BaseException) -> None:
+        self.errors += 1
+        self.last_error = repr(exc)
+
     def flush(self) -> None:
         """Write buffered datagrams as one atomic spool file (visible to
-        the file stream only after the rename)."""
+        the file stream only after the rename). On write failure the
+        taken lines are RESTORED to the head of the buffer before the
+        exception propagates — a failed flush loses nothing."""
         with self._lock:
             if not self._buf:
                 return
             lines, self._buf = self._buf, []
             seq = self._seq
             self._seq += 1
-        tmp = os.path.join(self.spool_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(lines) + "\n")
-        os.rename(tmp, os.path.join(self.spool_dir, f"udp-{seq:010d}.txt"))
+        try:
+            tmp = os.path.join(self.spool_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write("\n".join(lines) + "\n")
+            os.rename(tmp, os.path.join(self.spool_dir, f"udp-{seq:010d}.txt"))
+        except Exception:
+            with self._lock:
+                self._buf = lines + self._buf
+            raise
+
+    def raise_if_failed(self) -> None:
+        """Surface a dead/failing listener to the owner (daemon loop):
+        raises RuntimeError if the listener thread died or marked itself
+        failed — the never-silent-loss alternative to idling healthy."""
+        thread_dead = (
+            self._thread is not None and not self._thread.is_alive() and not self._stop.is_set()
+        )
+        if self.failed or thread_dead:
+            raise RuntimeError(
+                f"UdpSpoolBridge on port {self.port} failed "
+                f"(errors={self.errors}, last_error={self.last_error})"
+            )
 
     def stop(self) -> None:
         self._stop.set()

@@ -174,8 +174,20 @@ def run_pipeline_once(
     return time.monotonic() - t0, n
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
-    """Representative per-operator timings over the sf testdata."""
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
+    """Representative per-operator timings over the sf testdata.
+
+    Each query is timed ``BENCH_QUERY_RUNS`` times (min-of-N — the same
+    protocol as the headline; single-run per-query numbers proved
+    uninterpretable under the host's 3-6× noise: r3 drew fingerprint_dups
+    at 16.2s vs 1.55s r2 with zero code change). Query run-sets are
+    bracketed by ``calibrate_spark`` samples so each number carries its
+    own contention evidence (``calib_bracket``, smaller adjacent sample).
+
+    Returns ``(times, detail)``: ``times`` is the driver-contract
+    name→min_sec scalar dict; ``detail`` adds {min, median, runs,
+    calib_bracket, slowdown} per query.
+    """
     from beholder_spark.queries import QUERIES
 
     names = [
@@ -202,13 +214,31 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "webtext_pii_redact",
         "curation_pipeline_counts",
     ]
+    runs_per = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
+    ref = CALIB_REF["spark_parse_sec"]
     times: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    calib_prev = calibrate_spark(spark)
     for name in names:
         fn, _sql = QUERIES[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.monotonic() - t0, 3)
-    return times
+        samples = []
+        for _ in range(runs_per):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(round(time.monotonic() - t0, 3))
+        calib_next = calibrate_spark(spark)
+        bracket = round(min(calib_prev, calib_next), 3)
+        ss = sorted(samples)
+        times[name] = ss[0]
+        detail[name] = {
+            "min": ss[0],
+            "median": ss[len(ss) // 2],
+            "runs": samples,
+            "calib_bracket": bracket,
+            "slowdown": round(bracket / ref, 3),
+        }
+        calib_prev = calib_next
+    return times, detail
 
 
 def main_bench() -> None:
@@ -247,7 +277,7 @@ def main_bench() -> None:
     # re-crawl-heavy-corpus optimization; reported alongside, not as the
     # headline, because its win scales with the input's duplicate rate)
     dd_sec, _ = run_pipeline_once(spark, pages_path, lookup_path, dedup_parse=True)
-    qtimes = run_queries(spark, sf_dir)
+    qtimes, qdetail = run_queries(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # noise-normalized headline: best calibration sample ÷ pinned
@@ -259,7 +289,11 @@ def main_bench() -> None:
     best_cpu = min(c["cpu_sec"] for c in calib_samples)
     best_spark_calib = min(spark_calib)
     ref = CALIB_REF["spark_parse_sec"]
-    host_slowdown = round(max(1.0, best_spark_calib / ref), 3) if ref else None
+    # SYMMETRIC slowdown (no >=1.0 clamp): a faster-than-reference host
+    # deflates the normalized number just as a slower one inflates it —
+    # otherwise the normalization is structurally upward-biased (the raw
+    # headline stays primary either way)
+    host_slowdown = round(best_spark_calib / ref, 3) if ref else None
     # PER-RUN normalization: contention fluctuates at seconds scale, so a
     # global min-of-samples can catch a calm gap no 90s pipeline run fits
     # into (measured: calib 0.86s best sample while every run held ~94s
@@ -270,15 +304,21 @@ def main_bench() -> None:
     per_run_norm = []
     for i, (s, _) in enumerate(timed):
         bracket = min(spark_calib[i], spark_calib[i + 1])
-        sl = max(1.0, bracket / ref) if ref else 1.0
+        sl = (bracket / ref) if ref else 1.0  # symmetric — see host_slowdown
         per_run_norm.append(round(sl * docs / s, 1))
+    norm_sorted = sorted(per_run_norm)
     print(
         json.dumps(
             {
                 "metric": "e2e parse→enrich→route→aggregate throughput",
                 "value": round(docs / sec, 1),
                 "unit": "docs/sec",
-                "value_noise_normalized": max(per_run_norm) if per_run_norm else None,
+                # median per-run normalized is the honest central estimate;
+                # best is reported alongside, never as the headline
+                "value_noise_normalized": (
+                    norm_sorted[len(norm_sorted) // 2] if norm_sorted else None
+                ),
+                "value_noise_normalized_best": max(per_run_norm) if per_run_norm else None,
                 "value_noise_normalized_per_run": per_run_norm,
                 "host_slowdown": host_slowdown,
                 "calib_spark_parse_samples": spark_calib,
@@ -295,6 +335,7 @@ def main_bench() -> None:
                 "dedup_parse_sec": round(dd_sec, 2),
                 "dedup_parse_docs_per_sec": round(docs / dd_sec, 1),
                 "queries": qtimes,
+                "queries_detail": qdetail,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -401,7 +442,11 @@ def main_scaling() -> None:
                 f"runs_sec_local{n4}": results[n4]["runs_sec"],
                 f"calib_parse_sec_local{n}": results[n].get("calib_parse_sec"),
                 f"calib_parse_sec_local{n4}": results[n4].get("calib_parse_sec"),
-                "pass": eff_min >= 0.8,
+                # the contract criterion (BASELINE.json) is graded on the
+                # MEDIAN; best-run efficiency is forensic evidence only
+                "pass": eff_median >= 0.8,
+                "pass_median": eff_median >= 0.8,
+                "pass_best": eff_min >= 0.8,
             }
         )
     )

@@ -38,6 +38,11 @@ def test_bmp_decode_top_down_and_failures():
     bpp8 = bytearray(_bmp_2x1())
     bpp8[28:30] = struct.pack("<H", 8)
     assert mm.decode_bmp_bytes(bytes(bpp8))[-1] is False
+    # fail-closed: data offset pointing INTO the headers must not decode
+    # header bytes as raster with parse_ok=True
+    hdr_off = bytearray(_bmp_2x1())
+    hdr_off[10:14] = struct.pack("<I", 40)
+    assert mm.decode_bmp_bytes(bytes(hdr_off) + bytes(64))[-1] is False
     assert mm.decode_image_bytes(b"\x89PNG\r\n")[-1] is False  # truncated PNG signature
 
 

@@ -319,6 +319,29 @@ def test_udp_stream_parses_like_batch(spark, tmp_path):
     assert srcs == [f"udp://0.0.0.0:{port}"]
 
 
+def test_udp_bridge_flush_failure_restores_buffer(tmp_path):
+    """Never-silent-loss: a failed spool write puts the taken lines back
+    at the head of the buffer before the exception propagates, and
+    raise_if_failed surfaces a dead/failed listener to the daemon loop."""
+    import pytest
+
+    bridge = sources.UdpSpoolBridge(str(tmp_path / "sp"), flush_secs=30)
+    bridge._buf = ["line-a", "line-b"]
+    # point the spool at a regular FILE so the tmp-file open fails
+    bad = tmp_path / "not-a-dir"
+    bad.write_text("x")
+    bridge.spool_dir = str(bad)
+    with pytest.raises(OSError):
+        bridge.flush()
+    assert bridge._buf == ["line-a", "line-b"]  # restored, in order
+
+    bridge.raise_if_failed()  # not failed yet — no-op
+    bridge.failed = True
+    bridge.last_error = "OSError('disk full')"
+    with pytest.raises(RuntimeError, match="disk full"):
+        bridge.raise_if_failed()
+
+
 def test_udp_bridge_one_datagram_one_row(tmp_path):
     """Embedded newlines inside a datagram are sanitized to spaces, so
     the one-datagram-one-message contract survives newline spool framing
