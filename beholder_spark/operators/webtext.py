@@ -6,17 +6,48 @@ Common-Crawl training pipeline runs between extraction and dedup.
 Scale notes: canonicalization and repetition stats are pure column
 expressions (codegen'd, no shuffle, fuse with the parse projection).
 Span dedup groups on md5(span) — 32 bytes per span shuffled, never the
-span text — and the hot-span set is broadcast for the anti-join, the
-same skew-bounding shape as the stop-shingle filter in
+span text — and the hot-span set is broadcast for the anti-join while
+under a count gate (:func:`bounded_small_side`; shuffled hash join
+past it), the same skew-bounding shape as the stop-shingle filter in
 :mod:`beholder_spark.operators.dedup`. Contamination checks broadcast
-the (small) benchmark shingle set against the corpus. Everything is
+the (small) benchmark shingle set through the same gate. Everything is
 md5-derived and integer-ratio'd so DuckDB oracles match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Row-count ceiling for the "small by construction" broadcast sides
+# (hot-span set, benchmark shingle set). ~1M md5 keys ≈ 80 MB of JVM
+# strings per executor — comfortably broadcastable; past that a
+# boilerplate-heavy crawl would push the driver/executor broadcast
+# limits and kill the job at runtime, so the join falls back to a
+# shuffled hash join on the same 32-byte keys (cheap: both sides
+# shuffle md5 digests, never text).
+BROADCAST_ROW_LIMIT = int(os.environ.get("BEHOLDER_BROADCAST_ROW_LIMIT", "1000000"))
+
+
+def bounded_small_side(small: DataFrame, row_limit: int | None = None) -> DataFrame:
+    """Count-gated broadcast guard for derived "small" join sides.
+
+    The frame is materialized ONCE (eager localCheckpoint — truncates the
+    upstream span/shingle aggregation so the count doesn't recompute it),
+    counted, and returned either broadcast-hinted (count ≤ limit) or
+    shuffle-hash-hinted (count > limit). The hint makes the fallback
+    shape deterministic — without it, static size stats on a checkpointed
+    frame could still pick a too-large broadcast. AQE remains the runtime
+    backstop either way. Checkpoint storage is released by the
+    ContextCleaner once the query's frame is unreferenced.
+    """
+    limit = BROADCAST_ROW_LIMIT if row_limit is None else row_limit
+    small = small.localCheckpoint(eager=True)
+    if small.count() <= limit:
+        return F.broadcast(small)
+    return small.hint("shuffle_hash")
 
 # Query parameters that identify a click, not a resource. Shared with the
 # oracle SQL (same regex, same semantics on both engines).
@@ -71,6 +102,7 @@ def drop_repeated_spans(
     sep: str = "\n",
     max_doc_freq: int = 2,
     out_col: str = "text_dedup",
+    broadcast_row_limit: int | None = None,
 ) -> DataFrame:
     """CCNet-style span-level dedup: split each document on ``sep``
     (paragraphs/lines), DROP spans appearing in more than ``max_doc_freq``
@@ -78,11 +110,14 @@ def drop_repeated_spans(
     reassemble the survivors in original order.
 
     Shape at 100 TB: spans group on md5(span) — 32 bytes shuffled per
-    span; the hot-span set (small by construction: only spans repeated
-    across > max_doc_freq docs) broadcasts into a left-anti join; the
-    reassembly groups (id, pos-ordered spans) once. Documents whose every
-    span is boilerplate survive with ``out_col = ''`` (never silently
-    dropped — quarantine philosophy).
+    span; the hot-span set (usually small: only spans repeated across
+    > max_doc_freq docs) goes through :func:`bounded_small_side` — it
+    broadcasts into the left-anti join while under the row limit, and a
+    boilerplate-heavy crawl that blows past the limit falls back to a
+    shuffled anti-join on the same md5 keys instead of dying on the
+    broadcast. The reassembly groups (id, pos-ordered spans) once.
+    Documents whose every span is boilerplate survive with
+    ``out_col = ''`` (never silently dropped — quarantine philosophy).
     """
     import re as _re
 
@@ -99,7 +134,7 @@ def drop_repeated_spans(
         .filter(F.col("span_df") > max_doc_freq)
         .select("h")
     )
-    kept = parts.join(F.broadcast(hot), "h", "left_anti")
+    kept = parts.join(bounded_small_side(hot, broadcast_row_limit), "h", "left_anti")
     re_df = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -175,6 +210,7 @@ def contamination_overlap(
     text_col: str,
     bench_text_col: str | None = None,
     n: int = 3,
+    broadcast_row_limit: int | None = None,
 ) -> DataFrame:
     """Benchmark-contamination screen: per corpus document, how many of
     its distinct word n-grams appear anywhere in the benchmark set
@@ -182,9 +218,12 @@ def contamination_overlap(
     corpus).
 
     Output: (id, n_shingles, n_contaminated, contamination_ratio). The
-    benchmark's distinct shingle HASHES broadcast (benchmarks are tiny
-    next to a corpus); the corpus side is one generator + one hash agg —
-    no corpus self-join anywhere.
+    benchmark's distinct shingle HASHES go through
+    :func:`bounded_small_side` — broadcast while under the row limit
+    (benchmarks are tiny next to a corpus), shuffled hash join past it
+    (a "benchmark" the size of a corpus shard must not OOM the join);
+    the corpus side is one generator + one hash agg — no corpus
+    self-join anywhere.
     """
     from beholder_spark.operators.dedup import word_shingles
 
@@ -200,7 +239,9 @@ def contamination_overlap(
         .distinct()
     )
     marked = doc_sh.join(
-        F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "h", "left"
+        bounded_small_side(bench_sh.withColumn("_hit", F.lit(1)), broadcast_row_limit),
+        "h",
+        "left",
     )
     return marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),

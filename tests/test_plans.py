@@ -144,3 +144,66 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+def test_broadcast_guard_engages_fallback_above_limit(spark):
+    """bounded_small_side (VERDICT r3 item 3): under the row limit the
+    small side broadcasts; above it the join falls back to a shuffled
+    hash join on the md5 keys — and both shapes return identical rows."""
+    from beholder_spark.operators import webtext as wt
+
+    big = spark.range(500).select(F.md5(F.col("id").cast("string")).alias("h"))
+    small = spark.range(0, 50, 3).select(F.md5(F.col("id").cast("string")).alias("h"))
+
+    under = big.join(wt.bounded_small_side(small, row_limit=100), "h", "left_anti")
+    plan_under = _plan(under)
+    assert "BroadcastHashJoin" in plan_under and "ShuffledHashJoin" not in plan_under
+
+    over = big.join(wt.bounded_small_side(small, row_limit=5), "h", "left_anti")
+    plan_over = _plan(over)
+    assert "ShuffledHashJoin" in plan_over and "BroadcastHashJoin" not in plan_over
+
+    assert sorted(r.h for r in under.collect()) == sorted(r.h for r in over.collect())
+
+
+def test_webtext_guard_fallback_results_identical(spark):
+    """Both guarded webtext call-sites stay hash-exact when the fallback
+    engages (row_limit=0 forces the shuffled shape end-to-end)."""
+    from beholder_spark.operators import webtext as wt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\nfooter\nbody a"),
+            (2, "footer\nbody b"),
+            (3, "footer\nbody c\nkeep three"),
+        ],
+        ["doc_id", "text"],
+    )
+    base = {
+        r.doc_id: r.text_dedup
+        for r in wt.drop_repeated_spans(docs, "doc_id", "text", max_doc_freq=2).collect()
+    }
+    forced = {
+        r.doc_id: r.text_dedup
+        for r in wt.drop_repeated_spans(
+            docs, "doc_id", "text", max_doc_freq=2, broadcast_row_limit=0
+        ).collect()
+    }
+    assert base == forced and base[2] == "body b"
+
+    bench = spark.createDataFrame([("alpha beta gamma delta",)], ["text"])
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    a = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in wt.contamination_overlap(corpus, bench, "doc_id", "text").collect()
+    }
+    b = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in wt.contamination_overlap(
+            corpus, bench, "doc_id", "text", broadcast_row_limit=0
+        ).collect()
+    }
+    assert a == b and a[1][1] > 0 and a[2][1] == 0
