@@ -12,7 +12,9 @@ Supported command subset (the router core — SURVEY.md §2):
 
     from parquet '<path>' | from text '<path>' | from timer <n> | from infinity <n>
     from udp <port> spool '<dir>'         # S1 live ingest (streaming mode)
-    from tcp <host> <port>                # S2 live listener (streaming mode)
+    from tcp <host> <port>                # S2 live listener (newline framing)
+    from tcp <host> <port> as syslog-frame spool '<dir>'
+                                          # S2 RFC6587 octet-counted framing
     parse syslog [keep-unparsed]          # on $payload
     parse json $field key:type ...        # declared schema
     parse regexp ~pattern~ $name:idx ...  # named groups
@@ -226,6 +228,10 @@ class CompiledPipeline:
     # The Spark plan tails the spool; the datagram listener itself is a
     # driver-side bridge the daemon runner starts (Spark has no UDP source)
     udp_ingest: list[dict] = field(default_factory=list)
+    # `from tcp … as syslog-frame` declarations: [{"host", "port", "spool"}].
+    # Same bridge pattern as udp_ingest (TcpSyslogFrameBridge), needed
+    # because RFC6587 frames may embed newlines the socket source can't carry
+    tcp_frame_ingest: list[dict] = field(default_factory=list)
 
     def __call__(self, df: DataFrame | None = None, spark: SparkSession | None = None) -> DataFrame:
         return self.transform(df, spark)
@@ -309,13 +315,41 @@ def _compile_from(spark: SparkSession, cmd: Command, ctx: dict | None = None) ->
             ctx.setdefault("udp_ingest", []).append({"port": port, "spool": spool})
         return sources.from_udp_stream(spark, spool, source_tag=f"udp://0.0.0.0:{port}")
     if kind == "tcp":
-        # S2 live listener: `from tcp <host> <port>` → socket stream
+        # S2 live listener. Default/`as newline-terminated`: socket
+        # stream (one line per row). `as syslog-frame`: RFC6587
+        # octet-counted framing via the TcpSyslogFrameBridge spool —
+        # frames may embed newlines, which the socket source cannot
+        # carry, so the bridge pattern mirrors `from udp`.
         if len(cmd.args) < 3:
-            raise ConfigError("`from tcp` requires: from tcp <host> <port>")
+            raise ConfigError("`from tcp` requires: from tcp <host> <port> [as <framing> …]")
         port = int(cmd.args[2].value)
+        host = cmd.args[1].value
+        framing = "newline-terminated"
+        rest = [a.value for a in cmd.args[3:]]
+        if rest:
+            if rest[0] != "as" or len(rest) < 2:
+                raise ConfigError("`from tcp` framing clause: as newline-terminated | as syslog-frame spool '<dir>'")
+            framing = rest[1]
+        if framing == "syslog-frame":
+            if not 0 <= port <= 65535:  # 0 = ephemeral (bridge reports it)
+                raise ConfigError(f"tcp port out of range: {port}")
+            if len(rest) < 4 or rest[2] != "spool":
+                raise ConfigError(
+                    "`from tcp … as syslog-frame` requires: spool '<dir>' "
+                    "(the octet-counted frame bridge spools JSON lines)"
+                )
+            spool = rest[3]
+            if ctx is not None:
+                ctx.setdefault("tcp_frame_ingest", []).append(
+                    {"host": host, "port": port, "spool": spool}
+                )
+            return sources.from_tcp_frame_stream(
+                spark, spool, source_tag=f"tcp://{host}:{port}"
+            )
+        if framing != "newline-terminated":
+            raise ConfigError(f"unsupported tcp framing: {framing!r}")
         if not 0 < port <= 65535:
             raise ConfigError(f"tcp port out of range: {port}")
-        host = cmd.args[1].value
         return sources.from_socket_stream(spark, host, port, source_tag=f"tcp://{host}:{port}")
     raise ConfigError(f"unsupported config source: {kind!r}")
 
@@ -554,6 +588,7 @@ def compile_config(text: str) -> CompiledPipeline:
             raise ConfigError("config has no source: pass a DataFrame or start with `from …`")
         compiled.source_df = ctx.get("source_df")
         compiled.udp_ingest = ctx.get("udp_ingest", [])
+        compiled.tcp_frame_ingest = ctx.get("tcp_frame_ingest", [])
         return out
 
     compiled.transform = transform
@@ -770,9 +805,12 @@ def run_config_udp_daemon(
     """``beholder -c config`` parity for ``from udp`` — the reference's
     primary deployment shape (syslog-over-UDP listener daemon). Starts
     one :class:`beholder_spark.sources.UdpSpoolBridge` per ``from udp``
-    declaration (datagram listener → atomic spool files) and the
-    config's pipeline as a continuous stream tailing those spools into
-    the exactly-once manifested sink.
+    declaration (datagram listener → atomic spool files) and one
+    :class:`beholder_spark.sources.TcpSyslogFrameBridge` per
+    ``from tcp … as syslog-frame`` declaration (RFC6587 octet-counted
+    listener → JSON-lines spool), then runs the config's pipeline as a
+    continuous stream tailing those spools into the exactly-once
+    manifested sink.
 
     Returns ``(StreamingQuery, [UdpSpoolBridge, ...])`` — the caller
     owns shutdown (``q.stop()``; ``bridge.stop()``). Bridges report
@@ -781,7 +819,7 @@ def run_config_udp_daemon(
     bridges run on edge nodes (or are replaced by Kafka topics); the
     Spark side of the plan is identical either way.
     """
-    from beholder_spark.sources import UdpSpoolBridge
+    from beholder_spark.sources import TcpSyslogFrameBridge, UdpSpoolBridge
     from beholder_spark.streaming import write_manifested_stream
 
     compiled = compile_config(config_text)
@@ -792,12 +830,21 @@ def run_config_udp_daemon(
             "manifested sink; remove `to …` commands from the config "
             f"(found {len(compiled.sinks)})"
         )
-    if not compiled.udp_ingest:
-        raise ConfigError("run_config_udp_daemon requires a `from udp <port> spool '<dir>'` source")
+    if not compiled.udp_ingest and not compiled.tcp_frame_ingest:
+        raise ConfigError(
+            "run_config_udp_daemon requires a `from udp <port> spool '<dir>'` "
+            "or `from tcp <host> <port> as syslog-frame spool '<dir>'` source"
+        )
     bridges = []
     try:
         for spec in compiled.udp_ingest:
             b = UdpSpoolBridge(spec["spool"], port=spec["port"], flush_secs=0.2)
+            b.start()
+            bridges.append(b)
+        for spec in compiled.tcp_frame_ingest:
+            b = TcpSyslogFrameBridge(
+                spec["spool"], host=spec["host"], port=spec["port"], flush_secs=0.2
+            )
             b.start()
             bridges.append(b)
         q = write_manifested_stream(final, out_root, stage, checkpoint_path, available_now=False)

@@ -114,23 +114,15 @@ def from_rate_stream(
     )
 
 
-class UdpSpoolBridge:
-    """S1 ``from udp`` — Beholder's PRIMARY transport (syslog-over-UDP) —
-    as a live ingest path. Structured Streaming has no UDP source, so the
-    honest mapping is a datagram→spool-file bridge: a listener thread
-    binds a UDP socket, buffers datagrams (one datagram = one message,
-    the syslog-over-UDP framing), and flushes them as ATOMIC text files
-    (write hidden tmp → rename) into a spool directory that a REPLAYABLE
-    file stream tails (:func:`from_udp_stream`). Unlike the ``socket``
-    source, the spool survives query restart — checkpoint + file listing
-    give exactly-once downstream, which is why this is the prod-shaped
-    mapping (at cluster scale the bridge runs on the edge nodes, or is
-    replaced by Kafka; the Spark side is identical).
+class _SpoolBridgeBase:
+    """Shared listener→atomic-spool-file machinery: message buffering,
+    atomic flush (hidden tmp → rename, visible to the tailing file
+    stream only complete), error recording, and the never-silent-loss
+    health surface (:meth:`raise_if_failed`). Subclasses implement the
+    transport-specific listener loop and the spool serialization."""
 
-    Embedded ``\\n``/``\\r`` in a datagram are replaced by spaces so the
-    one-datagram-one-row contract survives newline framing (RFC 5426
-    forbids them in syslog datagrams; real daemons do the same).
-    """
+    _file_prefix = "msg"
+    _file_suffix = ".txt"
 
     def __init__(
         self,
@@ -155,6 +147,88 @@ class UdpSpoolBridge:
         self._thread: threading.Thread | None = None
         os.makedirs(spool_dir, exist_ok=True)
 
+    def _serialize(self, lines: list[str]) -> str:
+        return "\n".join(lines) + "\n"
+
+    def _record_error(self, exc: BaseException) -> None:
+        self.errors += 1
+        self.last_error = repr(exc)
+
+    def _append(self, line: str) -> None:
+        with self._lock:
+            self._buf.append(line)
+            self.received += 1
+
+    def flush(self) -> None:
+        """Write buffered messages as one atomic spool file. On write
+        failure the taken lines are RESTORED to the head of the buffer
+        before the exception propagates — a failed flush loses nothing."""
+        with self._lock:
+            if not self._buf:
+                return
+            lines, self._buf = self._buf, []
+            seq = self._seq
+            self._seq += 1
+        try:
+            tmp = os.path.join(self.spool_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(self._serialize(lines))
+            os.rename(
+                tmp,
+                os.path.join(
+                    self.spool_dir, f"{self._file_prefix}-{seq:010d}{self._file_suffix}"
+                ),
+            )
+        except Exception:
+            with self._lock:
+                self._buf = lines + self._buf
+            raise
+
+    def _flush_guarded(self) -> None:
+        try:
+            self.flush()
+        except Exception as exc:  # noqa: BLE001 — lines restored to _buf
+            self._record_error(exc)
+
+    def raise_if_failed(self) -> None:
+        """Surface a dead/failing listener to the owner (daemon loop):
+        raises RuntimeError if the listener thread died or marked itself
+        failed — the never-silent-loss alternative to idling healthy."""
+        thread_dead = (
+            self._thread is not None and not self._thread.is_alive() and not self._stop.is_set()
+        )
+        if self.failed or thread_dead:
+            raise RuntimeError(
+                f"{type(self).__name__} on port {self.port} failed "
+                f"(errors={self.errors}, last_error={self.last_error})"
+            )
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(10)
+
+
+class UdpSpoolBridge(_SpoolBridgeBase):
+    """S1 ``from udp`` — Beholder's PRIMARY transport (syslog-over-UDP) —
+    as a live ingest path. Structured Streaming has no UDP source, so the
+    honest mapping is a datagram→spool-file bridge: a listener thread
+    binds a UDP socket, buffers datagrams (one datagram = one message,
+    the syslog-over-UDP framing), and flushes them as ATOMIC text files
+    (write hidden tmp → rename) into a spool directory that a REPLAYABLE
+    file stream tails (:func:`from_udp_stream`). Unlike the ``socket``
+    source, the spool survives query restart — checkpoint + file listing
+    give exactly-once downstream, which is why this is the prod-shaped
+    mapping (at cluster scale the bridge runs on the edge nodes, or is
+    replaced by Kafka; the Spark side is identical).
+
+    Embedded ``\\n``/``\\r`` in a datagram are replaced by spaces so the
+    one-datagram-one-row contract survives newline framing (RFC 5426
+    forbids them in syslog datagrams; real daemons do the same).
+    """
+
+    _file_prefix = "udp"
+
     def start(self) -> int:
         sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
         sock.bind((self.host, self._want_port))
@@ -171,10 +245,7 @@ class UdpSpoolBridge:
                 try:
                     data, _ = sock.recvfrom(65536)
                     line = data.decode("utf-8", errors="replace")
-                    line = line.replace("\r", " ").replace("\n", " ")
-                    with self._lock:
-                        self._buf.append(line)
-                        self.received += 1
+                    self._append(line.replace("\r", " ").replace("\n", " "))
                     consecutive = 0
                 except TimeoutError:
                     consecutive = 0
@@ -195,10 +266,7 @@ class UdpSpoolBridge:
                 if self._buf and (
                     len(self._buf) >= self.flush_lines or now - last >= self.flush_secs
                 ):
-                    try:
-                        self.flush()
-                    except Exception as exc:  # noqa: BLE001
-                        self._record_error(exc)  # lines were restored to _buf
+                    self._flush_guarded()
                     last = now
             try:
                 self.flush()
@@ -211,49 +279,6 @@ class UdpSpoolBridge:
         self._thread.start()
         return self.port
 
-    def _record_error(self, exc: BaseException) -> None:
-        self.errors += 1
-        self.last_error = repr(exc)
-
-    def flush(self) -> None:
-        """Write buffered datagrams as one atomic spool file (visible to
-        the file stream only after the rename). On write failure the
-        taken lines are RESTORED to the head of the buffer before the
-        exception propagates — a failed flush loses nothing."""
-        with self._lock:
-            if not self._buf:
-                return
-            lines, self._buf = self._buf, []
-            seq = self._seq
-            self._seq += 1
-        try:
-            tmp = os.path.join(self.spool_dir, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w", encoding="utf-8") as f:
-                f.write("\n".join(lines) + "\n")
-            os.rename(tmp, os.path.join(self.spool_dir, f"udp-{seq:010d}.txt"))
-        except Exception:
-            with self._lock:
-                self._buf = lines + self._buf
-            raise
-
-    def raise_if_failed(self) -> None:
-        """Surface a dead/failing listener to the owner (daemon loop):
-        raises RuntimeError if the listener thread died or marked itself
-        failed — the never-silent-loss alternative to idling healthy."""
-        thread_dead = (
-            self._thread is not None and not self._thread.is_alive() and not self._stop.is_set()
-        )
-        if self.failed or thread_dead:
-            raise RuntimeError(
-                f"UdpSpoolBridge on port {self.port} failed "
-                f"(errors={self.errors}, last_error={self.last_error})"
-            )
-
-    def stop(self) -> None:
-        self._stop.set()
-        if self._thread is not None:
-            self._thread.join(10)
-
 
 def from_udp_stream(spark: SparkSession, spool_dir: str, source_tag: str | None = None) -> DataFrame:
     """S1 ``from udp`` Spark side: tail the bridge's spool directory as a
@@ -262,6 +287,172 @@ def from_udp_stream(spark: SparkSession, spool_dir: str, source_tag: str | None 
     unchanged on live UDP ingest."""
     os.makedirs(spool_dir, exist_ok=True)
     df = spark.readStream.text(spool_dir).withColumnRenamed("value", "payload")
+    if source_tag is not None:
+        df = df.withColumn("source", F.lit(source_tag))
+    return df
+
+
+# RFC 6587 §3.4.1 sanity cap: the RFC puts no bound on MSG-LEN; a
+# length prefix past this is treated as a protocol violation rather
+# than an instruction to buffer gigabytes from one peer.
+MAX_FRAME_BYTES = 1 << 20
+
+
+def parse_octet_frames(buf: bytes) -> tuple[list[bytes], bytes, str | None]:
+    """Incremental RFC 6587 octet-counting parser (syslog-over-TCP as
+    relays like rsyslog/syslog-ng emit it).
+
+    SPEC (normative for this repo): a frame is ``MSG-LEN SP MSG`` where
+    MSG-LEN is the decimal byte count of MSG (1–7 digits, value ≤
+    ``MAX_FRAME_BYTES``); MSG is arbitrary bytes — embedded ``\\n``/
+    ``\\r`` are legal and preserved (the reason this framing exists,
+    and what newline framing cannot carry).
+
+    Returns ``(frames, tail, error)``: complete frames, the unconsumed
+    tail (a partial frame awaiting more bytes when ``error`` is None),
+    and ``error`` — None while well-formed, else the violation reason
+    (non-digit at a frame boundary, missing SP, overlong/oversized
+    length). On error the caller quarantines the tail: never silent
+    loss (P7 contract).
+    """
+    frames: list[bytes] = []
+    i, n = 0, len(buf)
+    while i < n:
+        j = i
+        while j < n and j - i < 8 and 0x30 <= buf[j] <= 0x39:
+            j += 1
+        if j == i:
+            return frames, buf[i:], f"expected digit at frame boundary, got byte {buf[i]:#04x}"
+        if j - i >= 8:
+            return frames, buf[i:], "length prefix longer than 7 digits"
+        if j == n:
+            break  # incomplete length prefix — wait for more bytes
+        if buf[j] != 0x20:
+            return frames, buf[i:], f"expected SP after length, got byte {buf[j]:#04x}"
+        msg_len = int(buf[i:j])
+        if msg_len > MAX_FRAME_BYTES:
+            return frames, buf[i:], f"frame length {msg_len} exceeds cap {MAX_FRAME_BYTES}"
+        if n - (j + 1) < msg_len:
+            break  # incomplete frame body — wait for more bytes
+        frames.append(buf[j + 1 : j + 1 + msg_len])
+        i = j + 1 + msg_len
+    return frames, buf[i:], None
+
+
+class TcpSyslogFrameBridge(_SpoolBridgeBase):
+    """S2 ``from tcp … as syslog-frame`` — RFC 6587 octet-counted TCP
+    framing, the transport real syslog relays use over TCP (public
+    Beholder semantics: ``beholder@public:.../listeners/TcpListener.kt``).
+
+    The ``socket`` streaming source is newline-framed and cannot carry
+    frames with embedded newlines, so this uses the same bridge shape as
+    :class:`UdpSpoolBridge`: an accept loop (one handler thread per
+    connection) parses octet-counted frames out of each byte stream and
+    spools them as atomic JSON-lines files — JSON escaping is what lets
+    a frame containing ``\\n`` survive file framing bit-exact.
+    :func:`from_tcp_frame_stream` tails the spool as a replayable file
+    stream (checkpoint + file listing → exactly-once downstream).
+
+    Violations follow the P7 never-silent-loss contract: a malformed
+    length prefix or EOF mid-frame quarantines that connection's
+    remaining bytes as ONE message and is counted in ``errors``.
+    """
+
+    _file_prefix = "tcpf"
+    _file_suffix = ".json"
+
+    def _serialize(self, lines: list[str]) -> str:
+        import json as _json
+
+        return "".join(
+            _json.dumps({"payload": ln}, ensure_ascii=False) + "\n" for ln in lines
+        )
+
+    def _handle_conn(self, conn: _socket.socket) -> None:
+        buf = b""
+        try:
+            conn.settimeout(0.2)
+            while not self._stop.is_set():
+                try:
+                    data = conn.recv(65536)
+                except TimeoutError:
+                    continue
+                except Exception as exc:  # noqa: BLE001
+                    self._record_error(exc)
+                    break
+                if not data:
+                    break  # clean EOF
+                buf += data
+                frames, buf, err = parse_octet_frames(buf)
+                for fr in frames:
+                    self._append(fr.decode("utf-8", errors="replace"))
+                if err is not None:
+                    self._record_error(ValueError(f"octet framing violation: {err}"))
+                    if buf:  # quarantine the unparseable tail as one message
+                        self._append(buf.decode("utf-8", errors="replace"))
+                        buf = b""
+                    break
+        finally:
+            if buf:  # EOF mid-frame: quarantine the partial bytes
+                self._record_error(ValueError("EOF mid-frame; partial bytes quarantined"))
+                self._append(buf.decode("utf-8", errors="replace"))
+            conn.close()
+
+    def start(self) -> int:
+        sock = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        sock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        sock.bind((self.host, self._want_port))
+        sock.listen(16)
+        sock.settimeout(0.2)
+        self.port = sock.getsockname()[1]
+        self._sock = sock
+        self._conn_threads: list[threading.Thread] = []
+
+        def loop():
+            import time as _time
+
+            last = _time.monotonic()
+            while not self._stop.is_set():
+                try:
+                    conn, _ = sock.accept()
+                    t = threading.Thread(target=self._handle_conn, args=(conn,), daemon=True)
+                    t.start()
+                    self._conn_threads.append(t)
+                except TimeoutError:
+                    pass
+                except Exception as exc:  # noqa: BLE001 — see UdpSpoolBridge
+                    self._record_error(exc)
+                    _time.sleep(0.05)
+                now = _time.monotonic()
+                if self._buf and (
+                    len(self._buf) >= self.flush_lines or now - last >= self.flush_secs
+                ):
+                    self._flush_guarded()
+                    last = now
+            for t in self._conn_threads:
+                t.join(2)
+            try:
+                self.flush()
+            except Exception as exc:  # noqa: BLE001
+                self._record_error(exc)
+                self.failed = True
+            sock.close()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self.port
+
+
+def from_tcp_frame_stream(
+    spark: SparkSession, spool_dir: str, source_tag: str | None = None
+) -> DataFrame:
+    """S2 ``from tcp … as syslog-frame`` Spark side: tail the TCP frame
+    bridge's JSON-lines spool as a replayable file stream. Columns match
+    the other line sources (``payload`` [+ ``source``]) so the same
+    stage compiler runs unchanged; unlike the text spool, frames with
+    embedded newlines round-trip bit-exact through the JSON escaping."""
+    os.makedirs(spool_dir, exist_ok=True)
+    df = spark.readStream.schema("payload STRING").json(spool_dir)
     if source_tag is not None:
         df = df.withColumn("source", F.lit(source_tag))
     return df

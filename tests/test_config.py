@@ -705,3 +705,70 @@ def test_cli_daemon_udp(spark, tmp_path):
     assert rows() == 15
     t.join(90)
     assert rc_box == [0]
+
+
+def test_config_from_tcp_syslog_frame_daemon(spark, tmp_path):
+    """`from tcp <host> <port> as syslog-frame spool '<dir>'`: the daemon
+    runner starts the RFC6587 octet-counted TCP bridge; framed messages —
+    including one with embedded newlines — land exactly-once in the
+    manifested sink with the same rows as the batch engine."""
+    import socket
+    import time
+
+    from beholder_spark.plans import lineage as ln
+
+    spool = tmp_path / "spool"
+    cfg = (
+        f"from tcp 127.0.0.1 0 as syslog-frame spool '{spool}';\n"
+        "parse syslog keep-unparsed;\n"
+        "keep $severity $program $payload $parse_ok;\n"
+    )
+    compiled = C.compile_config(cfg)
+    compiled(None, spark=spark)
+    assert compiled.tcp_frame_ingest == [
+        {"host": "127.0.0.1", "port": 0, "spool": str(spool)}
+    ]
+
+    q, bridges = C.run_config_udp_daemon(
+        spark, cfg, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    msgs = [f"<{i % 24}>1 2026-03-02T00:00:00Z h prog{i % 3} - - - f{i}" for i in range(25)]
+    msgs.append("<7>1 2026-03-02T00:00:01Z h prog1 - - - over\ntwo lines")
+    try:
+        port = bridges[0].port
+        cli = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        cli.connect(("127.0.0.1", port))
+        for m in msgs:
+            b = m.encode()
+            cli.sendall(str(len(b)).encode() + b" " + b)
+        cli.close()
+
+        def rows():
+            try:
+                return ln.read_stage(spark, str(tmp_path / "out"), "config_sink", "_batch").count()
+            except Exception:
+                return 0
+
+        deadline = time.monotonic() + 90
+        while rows() < len(msgs) and time.monotonic() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        for b in bridges:
+            b.stop()
+
+    got = ln.read_stage(spark, str(tmp_path / "out"), "config_sink", "_batch")
+    assert got.count() == len(msgs)  # exactly-once
+    assert sorted(r.payload for r in got.filter("NOT parse_ok").collect()) == [
+        "<7>1 2026-03-02T00:00:01Z h prog1 - - - over\ntwo lines"
+    ]
+    assert got.filter("parse_ok").count() == 25
+
+
+def test_config_from_tcp_framing_compile_errors(spark):
+    with pytest.raises(C.ConfigError, match="spool"):
+        C.compile_config("from tcp 127.0.0.1 0 as syslog-frame;")(None, spark=spark)
+    with pytest.raises(C.ConfigError, match="framing"):
+        C.compile_config("from tcp 127.0.0.1 514 as pigeon;")(None, spark=spark)
+    with pytest.raises(C.ConfigError, match="out of range"):
+        C.compile_config("from tcp 127.0.0.1 0;")(None, spark=spark)  # newline framing needs a real port

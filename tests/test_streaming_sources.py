@@ -368,3 +368,127 @@ def test_udp_bridge_one_datagram_one_row(tmp_path):
         rows += f.read_text().splitlines()
     assert rows == ["part one part two  ", "second datagram"]
     assert not list(pathlib.Path(tmp_path / "sp").glob(".tmp-*"))  # atomic: no orphans
+
+
+def _octet_frame(msg: str) -> bytes:
+    b = msg.encode("utf-8")
+    return str(len(b)).encode() + b" " + b
+
+
+def test_tcp_frame_bridge_batch_equivalence(spark, tmp_path):
+    """S2 `from tcp … as syslog-frame` (RFC6587 octet-counting): real TCP
+    frames — INCLUDING frames with embedded newlines, which newline
+    framing cannot carry — round-trip bit-exact through the bridge spool
+    and parse to the same rows as the batch engine on identical
+    messages. Bytes are deliberately split mid-frame across socket
+    writes to exercise the incremental parser."""
+    msgs = [
+        f"<{(i * 3) % 64}>1 2026-02-01T00:00:00Z h prog{i % 3} - - - tcp {i}" for i in range(20)
+    ]
+    msgs.append("<13>1 2026-02-01T00:00:01Z h prog0 - - - multi\nline\npayload")
+    msgs.append("unparseable line with\nembedded newline")
+
+    bridge = sources.TcpSyslogFrameBridge(str(tmp_path / "spool"), flush_secs=0.1)
+    port = bridge.start()
+    try:
+        wire = b"".join(_octet_frame(m) for m in msgs)
+        cli = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        cli.connect(("127.0.0.1", port))
+        # drip the stream in 7-byte chunks: every frame boundary lands
+        # mid-write somewhere
+        for i in range(0, len(wire), 7):
+            cli.sendall(wire[i : i + 7])
+        cli.close()
+        deadline = time.monotonic() + 20
+        while bridge.received < len(msgs) and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert bridge.received == len(msgs)
+        assert bridge.errors == 0
+        bridge.flush()
+
+        stream = sources.from_tcp_frame_stream(
+            spark, str(tmp_path / "spool"), source_tag=f"tcp://127.0.0.1:{port}"
+        )
+        parsed = parse.parse_syslog(stream, col="payload", keep_unparsed=True)
+        q = (
+            parsed.writeStream.format("memory")
+            .queryName("tcpf_rows")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                if spark.sql("SELECT count(*) n FROM tcpf_rows").first().n >= len(msgs):
+                    break
+                time.sleep(0.5)
+            got_payloads = sorted(
+                r.payload for r in spark.sql("SELECT payload FROM tcpf_rows").collect()
+            )
+            got_sev = {
+                r.severity: r.n
+                for r in spark.sql(
+                    "SELECT severity, count(*) n FROM tcpf_rows WHERE parse_ok GROUP BY severity"
+                ).collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        bridge.stop()
+
+    # batch equivalence: parse rewrites $payload to the extracted message
+    # (Beholder semantics), so compare against the BATCH engine's output
+    # on identical messages — bit-exact, embedded newlines preserved
+    batch = parse.parse_syslog(
+        spark.createDataFrame([(m,) for m in msgs], ["payload"]), col="payload", keep_unparsed=True
+    )
+    assert got_payloads == sorted(r.payload for r in batch.collect())
+    # frames with embedded newlines survive bit-exact (both engines keep
+    # them raw: the single-line syslog regex doesn't span \n — identical
+    # quarantine behavior is part of the equivalence)
+    assert any(p.endswith("multi\nline\npayload") for p in got_payloads)
+    assert "unparseable line with\nembedded newline" in got_payloads
+    exp = {
+        r.severity: r.n
+        for r in batch.filter("parse_ok").groupBy("severity").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_sev == exp and sum(exp.values()) == len(msgs) - 2
+
+
+def test_tcp_frame_violation_quarantines_tail(tmp_path):
+    """Protocol violation mid-stream: completed frames survive, the
+    malformed tail is quarantined as ONE message, the error is counted —
+    never silent loss."""
+    bridge = sources.TcpSyslogFrameBridge(str(tmp_path / "sp"), flush_secs=30)
+    port = bridge.start()
+    try:
+        cli = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        cli.connect(("127.0.0.1", port))
+        cli.sendall(_octet_frame("good frame") + b"XYZ not octet counted")
+        cli.close()
+        deadline = time.monotonic() + 20
+        while bridge.received < 2 and time.monotonic() < deadline:
+            time.sleep(0.05)
+    finally:
+        bridge.stop()
+    assert bridge.received == 2
+    assert bridge.errors >= 1 and "violation" in (bridge.last_error or "")
+    with bridge._lock:
+        buf = list(bridge._buf)
+    assert buf == [] or buf == ["good frame", "XYZ not octet counted"]  # flushed or pending
+
+
+def test_octet_frame_parser_incremental_spec():
+    """Pin the SPEC edge cases: partial prefixes/bodies wait, zero-length
+    frames are legal, >7-digit and oversize lengths are violations."""
+    p = sources.parse_octet_frames
+    assert p(b"5 hello3 abc") == ([b"hello", b"abc"], b"", None)
+    assert p(b"11 line1\nline2") == ([b"line1\nline2"], b"", None)
+    assert p(b"12") == ([], b"12", None)  # incomplete prefix: wait
+    assert p(b"5 hel") == ([], b"5 hel", None)  # incomplete body: wait
+    assert p(b"0 4 next") == ([b"", b"next"], b"", None)
+    frames, tail, err = p(b"5 helloXjunk")
+    assert frames == [b"hello"] and tail == b"Xjunk" and "digit" in err
+    assert "SP" in p(b"5#oops")[2]
+    assert "7 digits" in p(b"99999999 x")[2]
+    assert "cap" in p(b"9999999 x")[2]
