@@ -15,7 +15,9 @@ Supported command subset (the router core — SURVEY.md §2):
     from tcp <host> <port>                # S2 live listener (newline framing)
     from tcp <host> <port> as syslog-frame spool '<dir>'
                                           # S2 RFC6587 octet-counted framing
+    from internal-log '<root>'            # S4 own lineage table as messages
     parse syslog [keep-unparsed]          # on $payload
+    parse beholder-stats                  # P6 typed counters from internal-log
     parse json $field key:type ...        # declared schema
     parse regexp ~pattern~ $name:idx ...  # named groups
     parse each-field-as-message [$a ...]  # explode fields → (key, value) rows
@@ -298,6 +300,13 @@ def _compile_from(spark: SparkSession, cmd: Command, ctx: dict | None = None) ->
         return sources.from_timer(spark, int(cmd.args[1].value))
     if kind == "infinity":
         return sources.from_infinity(spark, int(cmd.args[1].value))
+    if kind == "internal-log":
+        # S4 self-observability: the engine's own _lineage table as a
+        # message source — `from internal-log '<pipeline root>'`; pair
+        # with `parse beholder-stats` to recover the typed counters
+        if len(cmd.args) < 2:
+            raise ConfigError("`from internal-log` requires: from internal-log '<root>'")
+        return sources.from_internal_log(spark, cmd.args[1].value)
     if kind == "udp":
         # S1 `from udp <port> spool '<dir>'` — Beholder's primary
         # transport. Compiles to the spool-tailing file STREAM
@@ -381,6 +390,10 @@ def _compile_parse(df: DataFrame, cmd: Command) -> DataFrame:
         keep = any(a.value == "keep-unparsed" for a in cmd.args[1:])
         listed = [_field(a) for a in cmd.args[1:] if a.value != "keep-unparsed"]
         return po.parse_fieldpack(df, col="payload", fields=listed or None, keep_unparsed=keep)
+    if kind == "beholder-stats":
+        # P6: typed counters out of `from internal-log` payload lines —
+        # the config-language half of the self-observability loop
+        return po.parse_beholder_stats(df, col="payload")
     if kind == "each-field-as-message":
         # P5: one message per field. Listed $fields explode; unlisted
         # columns ride along as identity columns. Bare form explodes

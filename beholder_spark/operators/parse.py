@@ -176,6 +176,48 @@ def each_field_as_message(df: DataFrame, fields: list[str], id_cols: list[str]) 
 
 
 # ---------------------------------------------------------------------------
+# P6: parse beholder-stats — typed counters from the internal-log payload
+# ---------------------------------------------------------------------------
+
+
+def parse_beholder_stats(df: DataFrame, col: str = "payload") -> DataFrame:
+    """P6 ``parse beholder-stats``: recover the typed run counters from a
+    ``beholder-stats`` payload line (as emitted by ``from internal-log``
+    — :func:`beholder_spark.sources.from_internal_log`), closing the
+    self-observability loop in config language: ``from internal-log …;
+    parse beholder-stats; …`` routes the engine's own metrics through
+    the same pipeline stages as any other message.
+
+    Pure JVM ``regexp_extract`` columns (codegen, zero shuffle, no
+    Python). Payloads that are not stats lines keep NULL fields with
+    ``parse_ok`` false — P7 never-silent-loss, same contract as every
+    other parser here.
+    """
+    src = F.col(col)
+    ok = src.rlike(r"^beholder-stats ")
+
+    def _num(key: str) -> Column:
+        s = F.regexp_extract(src, rf"\b{key}=(-?[0-9]+)", 1)
+        return F.when(ok & (s != ""), s.cast("long"))
+
+    def _word(key: str) -> Column:
+        s = F.regexp_extract(src, rf"\b{key}=(\S+)", 1)
+        return F.when(ok & (s != ""), s)
+
+    return (
+        df.withColumn("stage", _word("stage"))
+        .withColumn("run_id", _word("run"))
+        .withColumn("rows_out", _num("rows_out"))
+        .withColumn("parse_failures", _num("parse_failures"))
+        .withColumn("dropped", _num("dropped"))
+        .withColumn("dropped_overflow", _num("overflow"))
+        .withColumn("n_partitions", _num("parts"))
+        .withColumn("wall_ms", _num("wall_ms"))
+        .withColumn("parse_ok", ok)
+    )
+
+
+# ---------------------------------------------------------------------------
 # P4: parse fieldpack — spec-pinned binary field map (SURVEY.md §2.2)
 # ---------------------------------------------------------------------------
 #

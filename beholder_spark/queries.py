@@ -2519,6 +2519,71 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # past the cutoff stays registered and is still verified by
 # tools/check_oracle.py and the test suite.
 
+@_register(
+    "config_internal_log_counts",
+    """
+    SELECT 'curate' AS stage,
+           count(*) AS rows_out,
+           count(*) FILTER (WHERE length(text) < 200) AS parse_failures,
+           CAST(0 AS BIGINT) AS dropped,
+           count(DISTINCT lang) AS n_partitions
+    FROM documents
+    """,
+)
+def config_internal_log_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P6 self-observability round-trip IN CONFIG LANGUAGE: a real
+    checkpointed stage run writes the ``_lineage`` table, then the config
+    ``from internal-log '<root>'; parse beholder-stats;`` scans the
+    engine's own metrics as messages and recovers the typed counters —
+    which the oracle independently re-derives from the source table
+    (rows_out/parse_failures/n_partitions from first principles, not by
+    re-reading the lineage parquet).
+
+    Lineage rows are summed per stage so resume runs (rows_out=0 lineage
+    rows) can't change the answer.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from beholder_spark.config import compile_config
+    from beholder_spark.plans import lineage as ln
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    root = f"/tmp/beholder_ilog_{tag}"
+    marker = os.path.join(root, "_ILOG_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        docs = _t(spark, sf_dir, "documents")
+        ln.run_stage(
+            spark,
+            root,
+            "curate",
+            docs.select("doc_id", "lang", "text"),
+            partition_col="lang",
+            extra_metrics={"parse_failures": F.count_if(F.length("text") < 200)},
+        )
+        open(marker, "w").close()
+
+    cfg = f"""
+    from internal-log '{root}';
+    parse beholder-stats;
+    keep $stage $rows_out $parse_failures $dropped $n_partitions $parse_ok;
+    """
+    out = compile_config(cfg)(None, spark=spark)
+    return (
+        out.filter("parse_ok")
+        .groupBy("stage")
+        .agg(
+            F.sum("rows_out").alias("rows_out"),
+            F.sum("parse_failures").alias("parse_failures"),
+            F.sum("dropped").alias("dropped"),
+            F.sum("n_partitions").alias("n_partitions"),
+        )
+    )
+
+
 _SWEEP_FIRST = [
     # flagship + parse family (P1/P3/P4; P2 regexp stays past the cutoff,
     # judged via tools/check_oracle.py — fieldpack is the r3 flagship)

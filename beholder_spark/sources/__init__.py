@@ -292,6 +292,46 @@ def from_udp_stream(spark: SparkSession, spool_dir: str, source_tag: str | None 
     return df
 
 
+def from_internal_log(spark: SparkSession, root: str, source_tag: str | None = None) -> DataFrame:
+    """S4 ``from internal-log``: the engine's own lineage/metrics table
+    as a message source — the self-observability loop (public Beholder's
+    signature ops feature: the pipeline monitors itself through its own
+    pipeline language; ``beholder@public:.../config/commands/FromCommand.kt``).
+
+    Each ``_lineage`` row (:mod:`beholder_spark.plans.lineage`) becomes
+    ONE message whose ``$payload`` is a ``beholder-stats`` text line;
+    ``parse beholder-stats`` downstream recovers the typed counters.
+    Message-shaped on purpose (payload + source only): internal-log
+    messages flow through the same parse/route/sink stages as any other
+    source.
+    """
+    from beholder_spark.plans import lineage as ln
+
+    df = ln.read_lineage(spark, root)
+    if df is None:
+        raise ValueError(f"from internal-log: no _lineage table under {root!r}")
+    if "dropped_overflow" not in df.columns:  # pre-r3 lineage files
+        df = df.withColumn("dropped_overflow", F.lit(0))
+    payload = F.format_string(
+        "beholder-stats stage=%s run=%s rows_out=%d parse_failures=%d "
+        "dropped=%d overflow=%d parts=%d wall_ms=%d",
+        F.col("stage"),
+        F.col("run_id"),
+        F.col("rows_out"),
+        F.col("parse_failures"),
+        F.col("dropped"),
+        F.coalesce(F.col("dropped_overflow"), F.lit(0)),
+        F.col("n_partitions"),
+        F.col("wall_ms"),
+    )
+    return df.select(
+        payload.alias("payload"),
+        F.lit(source_tag if source_tag is not None else f"internal-log://{root}").alias(
+            "source"
+        ),
+    )
+
+
 # RFC 6587 §3.4.1 sanity cap: the RFC puts no bound on MSG-LEN; a
 # length prefix past this is treated as a protocol violation rather
 # than an instruction to buffer gigabytes from one peer.

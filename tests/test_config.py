@@ -772,3 +772,52 @@ def test_config_from_tcp_framing_compile_errors(spark):
         C.compile_config("from tcp 127.0.0.1 514 as pigeon;")(None, spark=spark)
     with pytest.raises(C.ConfigError, match="out of range"):
         C.compile_config("from tcp 127.0.0.1 0;")(None, spark=spark)  # newline framing needs a real port
+
+
+def test_config_internal_log_self_observability(spark, tmp_path):
+    """`from internal-log '<root>'; parse beholder-stats;` — the
+    self-observability loop in config language: a real checkpointed
+    stage writes _lineage; the config scans the engine's own metrics as
+    messages and recovers the typed counters exactly. Non-stats payloads
+    quarantine with parse_ok=false (P7)."""
+    from pyspark.sql import functions as F
+
+    from beholder_spark.plans import lineage as ln
+
+    root = str(tmp_path / "pipe")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("part"), (F.col("id") % 5 == 0).alias("bad")
+    )
+    ln.run_stage(
+        spark, root, "demo", df, partition_col="part",
+        extra_metrics={"parse_failures": F.count_if(F.col("bad"))},
+    )
+
+    cfg = f"from internal-log '{root}';\nparse beholder-stats;\n"
+    out = C.compile_config(cfg)(None, spark=spark)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].parse_ok
+    r = rows[0]
+    assert (r.stage, r.rows_out, r.parse_failures, r.dropped, r.n_partitions) == (
+        "demo", 40, 8, 0, 4
+    )
+    assert r.source == f"internal-log://{root}"
+    assert r.run_id.startswith("r") and r.wall_ms >= 0
+
+    # a second (resume) run appends a rows_out=0 lineage row — visible as
+    # a second message, stats still recoverable per run
+    ln.run_stage(spark, root, "demo", df, partition_col="part")
+    out2 = C.compile_config(cfg)(None, spark=spark)
+    assert out2.count() == 2
+    assert out2.agg(F.sum("rows_out")).first()[0] == 40  # resume added nothing
+
+    # P7: non-stats payloads through the same parser quarantine cleanly
+    other = spark.createDataFrame([("not a stats line",)], ["payload"])
+    from beholder_spark.operators import parse as po
+
+    q = po.parse_beholder_stats(other).first()
+    assert q.parse_ok is False and q.stage is None and q.rows_out is None
+
+    # compile error: missing root
+    with pytest.raises(C.ConfigError, match="internal-log"):
+        C.compile_config("from internal-log;")(None, spark=spark)
