@@ -785,27 +785,78 @@ def run_config_stream(
     replayed micro-batch never duplicates rows even across
     streaming-checkpoint loss.
 
-    Restrictions in streaming mode (checked, not silent): intermediate
-    `to …` sinks inside the config are rejected — Structured Streaming
-    executes ONE sink per query; fan-out belongs in a downstream batch
-    read of the manifested table or a second streaming query. Returns the
+    Multi-sink configs (``tee { to file '…' }`` + the main flow —
+    Beholder's bread-and-butter fan-out) run as ONE streaming query with
+    ONE checkpoint: each micro-batch re-runs the compiled command tree
+    in BATCH mode (the top-level ``from`` resolves to the batch slice),
+    and every ``to file`` sink plus the final frame lands through the
+    same file-keyed manifest machinery as
+    :func:`beholder_spark.streaming.write_manifested_stream` — exactly
+    once PER SINK, surviving checkpoint loss and supervisor config
+    reloads. Sink stages are ``sink_0 … sink_{K-1}`` in declaration
+    order; the final frame stays at ``stage`` (the daemon contract).
+    Non-file intermediate sinks (stdout/tcp/udp/shell) are rejected
+    (checked, not silent): they are not replay-idempotent — route them
+    from a downstream batch read of the manifested stages. Returns the
     started StreamingQuery.
     """
+    from beholder_spark.plans import lineage as ln
     from beholder_spark.streaming import write_manifested_stream
 
     compiled = compile_config(config_text)
     # stream_df=None → SELF-SOURCING streaming config: the top-level
     # `from udp|tcp` builds the streaming scan itself
     final = compiled(stream_df, spark=spark)
-    if compiled.sinks:
-        raise ConfigError(
-            "streaming mode runs the config's FINAL frame through the "
-            "manifested sink; remove `to …` commands from the config "
-            f"(found {len(compiled.sinks)})"
+    if not compiled.sinks:
+        return write_manifested_stream(
+            final, out_root, stage, checkpoint_path, available_now=available_now
         )
-    return write_manifested_stream(
-        final, out_root, stage, checkpoint_path, available_now=available_now
+    bad = sorted({s["kind"] for s in compiled.sinks if s["kind"] != "file"})
+    if bad:
+        raise ConfigError(
+            "streaming fan-out supports `to file` sinks only (they land "
+            f"through the exactly-once manifested stages); found {bad} — "
+            "run live-network/stdout sinks from a downstream batch read "
+            "of the manifested table"
+        )
+    if stream_df is None:
+        source_stream = compiled.source_df
+    else:
+        source_stream = stream_df
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # K sink writes recompute only their transform suffixes from
+        # cached rows — one source computation, same economics as the
+        # batch runner
+        batch_df.persist()
+        try:
+            batch_final = compiled(batch_df)  # recaptures sinks in batch mode
+            src = F.input_file_name()
+            key = F.when(src == "", F.lit(f"b{batch_id}")).otherwise(
+                F.concat(F.lit("f"), F.md5(src))
+            )
+            frames = [(f"sink_{i}", s) for i, s in enumerate(compiled.sinks)]
+            frames.append((stage, {"df": batch_final, "partition_fields": []}))
+            for st, spec in frames:
+                frame = spec["df"]
+                extra = [f for f in spec.get("partition_fields", []) if f in frame.columns]
+                ln.run_stage(
+                    frame.sparkSession,
+                    out_root,
+                    st,
+                    frame.withColumn("_batch", key),
+                    partition_col="_batch",
+                    partition_by=extra,
+                )
+        finally:
+            batch_df.unpersist()
+
+    w = source_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
     )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def run_config_udp_daemon(
@@ -833,16 +884,9 @@ def run_config_udp_daemon(
     Spark side of the plan is identical either way.
     """
     from beholder_spark.sources import TcpSyslogFrameBridge, UdpSpoolBridge
-    from beholder_spark.streaming import write_manifested_stream
 
     compiled = compile_config(config_text)
-    final = compiled(None, spark=spark)
-    if compiled.sinks:
-        raise ConfigError(
-            "daemon mode runs the config's FINAL frame through the "
-            "manifested sink; remove `to …` commands from the config "
-            f"(found {len(compiled.sinks)})"
-        )
+    compiled(None, spark=spark)  # records the ingest declarations
     if not compiled.udp_ingest and not compiled.tcp_frame_ingest:
         raise ConfigError(
             "run_config_udp_daemon requires a `from udp <port> spool '<dir>'` "
@@ -860,7 +904,12 @@ def run_config_udp_daemon(
             )
             b.start()
             bridges.append(b)
-        q = write_manifested_stream(final, out_root, stage, checkpoint_path, available_now=False)
+        # the self-sourcing streaming runner handles both the single-sink
+        # (final frame → manifested `stage`) and the tee fan-out shapes
+        q = run_config_stream(
+            spark, None, config_text, out_root, checkpoint_path,
+            stage=stage, available_now=False,
+        )
     except Exception:
         for b in bridges:
             b.stop()
@@ -959,12 +1008,15 @@ class ConfigStreamSupervisor:
             # is valid batch config but would only fail inside
             # _start_query — after the old query was already stopped)
             compiled = compile_config(text)
-            compiled(self.stream_factory(), spark=self.spark).schema
-            if compiled.sinks:
+            final = compiled(self.stream_factory(), spark=self.spark)
+            final.schema
+            for s in compiled.sinks:
+                s["df"].schema  # sink slices analyze too
+            bad = sorted({s["kind"] for s in compiled.sinks if s["kind"] != "file"})
+            if bad:
                 raise ConfigError(
-                    "streaming mode runs the config's FINAL frame through "
-                    "the manifested sink; remove `to …` commands "
-                    f"(found {len(compiled.sinks)})"
+                    "streaming fan-out supports `to file` sinks only; "
+                    f"found {bad} — remove them or route from a batch read"
                 )
         except Exception as e:  # noqa: BLE001 — any compile/analysis failure
             self.last_error = e

@@ -432,10 +432,11 @@ def test_config_streaming_daemon_mode(spark, tmp_path):
     assert sorted(got.drop("_batch").collect()) == sorted(batch.collect())
     assert got.count() == 60
 
-    # a config with an intermediate sink is rejected up front
-    with pytest.raises(C.ConfigError, match="manifested sink"):
+    # non-file intermediate sinks are rejected up front (not
+    # replay-idempotent under micro-batch retry)
+    with pytest.raises(C.ConfigError, match="to file"):
         C.run_config_stream(
-            spark, stream, "to file 'x';", str(tmp_path / "out2"), str(tmp_path / "ck2")
+            spark, stream, "to stdout;", str(tmp_path / "out2"), str(tmp_path / "ck2")
         )
 
 
@@ -557,11 +558,11 @@ def test_config_hot_reload_swaps_pipeline(spark, tmp_path):
         assert isinstance(sup.last_error, C.ConfigError)
         assert sup.generation == gen and sup.query.isActive
 
-        # batch-only rewrite (`to …` sink): valid batch config, but the
+        # batch-only rewrite (non-file sink): valid batch config, but the
         # streaming runner rejects it — reload must refuse BEFORE stopping
         # the old query (regression: the old dry pass missed the sink
         # check and killed the pipeline)
-        cfg.write_text("parse syslog keep-unparsed; to file 'x';")
+        cfg.write_text("parse syslog keep-unparsed; to stdout;")
         assert sup.reload() is False
         assert isinstance(sup.last_error, C.ConfigError)
         assert sup.generation == gen and sup.query.isActive
@@ -821,3 +822,84 @@ def test_config_internal_log_self_observability(spark, tmp_path):
     # compile error: missing root
     with pytest.raises(C.ConfigError, match="internal-log"):
         C.compile_config("from internal-log;")(None, spark=spark)
+
+
+def test_config_stream_tee_fanout_two_sinks_with_reload(spark, tmp_path):
+    """Streaming config FAN-OUT (Beholder's bread-and-butter): a config
+    with `tee { … to file }` plus the main flow runs as ONE streaming
+    query; both sinks land through the manifested stages exactly-once,
+    including across a mid-run config rewrite via the supervisor."""
+    import time
+
+    from beholder_spark.plans import lineage as ln
+
+    src_dir = str(tmp_path / "src")
+
+    def wave(lo, hi):
+        rows = [
+            (f"<{(i * 3) % 32}>1 2026-05-01T00:00:00Z h prog{i % 2} - - - t{i}",)
+            for i in range(lo, hi)
+        ]
+        spark.createDataFrame(rows, ["payload"]).coalesce(1).write.mode("append").parquet(src_dir)
+
+    cfg = tmp_path / "beholder.conf"
+    cfg.write_text(
+        "parse syslog keep-unparsed;\n"
+        "tee { keep $severity $program; to file 'side/{$program}'; }\n"
+        "set $ver 'v1';\n"
+        "keep $ver $severity $program $parse_ok;\n"
+    )
+    wave(0, 30)
+
+    out = str(tmp_path / "out")
+    sup = C.ConfigStreamSupervisor(
+        spark,
+        str(cfg),
+        lambda: spark.readStream.schema("payload string").parquet(src_dir),
+        out,
+        str(tmp_path / "ckpt"),
+    ).start()
+    try:
+
+        def n(stage):
+            try:
+                return ln.read_stage(spark, out, stage, "_batch").count()
+            except Exception:
+                return 0
+
+        deadline = time.monotonic() + 120
+        while (n("config_sink") < 30 or n("sink_0") < 30) and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert n("config_sink") == 30 and n("sink_0") == 30
+
+        side = ln.read_stage(spark, out, "sink_0", "_batch")
+        # tee slice: only the teed columns, templated field is a partition col
+        assert set(side.columns) == {"severity", "program", "_batch"}
+        assert sorted(r.program for r in side.select("program").distinct().collect()) == [
+            "prog0", "prog1"
+        ]
+        main = ln.read_stage(spark, out, "config_sink", "_batch")
+        assert main.filter("ver = 'v1'").count() == 30  # tee didn't leak into main
+
+        # rewrite mid-run: supervisor swaps on the same checkpoint; both
+        # sinks stay exactly-once across the swap
+        cfg.write_text(
+            "parse syslog keep-unparsed;\n"
+            "tee { keep $severity $program; to file 'side/{$program}'; }\n"
+            "set $ver 'v2';\n"
+            "keep $ver $severity $program $parse_ok;\n"
+        )
+        assert sup.reload() is True
+        wave(30, 50)
+        deadline = time.monotonic() + 120
+        while (n("config_sink") < 50 or n("sink_0") < 50) and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert n("config_sink") == 50 and n("sink_0") == 50  # no loss, no dupes
+        vers = {
+            r.ver: r.n
+            for r in ln.read_stage(spark, out, "config_sink", "_batch")
+            .groupBy("ver").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert vers == {"v1": 30, "v2": 20}
+    finally:
+        sup.stop()
