@@ -2589,11 +2589,9 @@ _SWEEP_FIRST = [
     # judged via tools/check_oracle.py — fieldpack is the r3 flagship)
     "flagship_stats_by_type_hour",
     "parse_syslog_roundtrip",
-    "parse_json_props",
     "parse_fieldpack_roundtrip",
     # routing + config front end (R1-R3, config compiler, textlines source)
     "route_switch_lang",
-    "route_case_capture",
     "config_switch_routed_counts",
     "config_textlines_severity_names",
     # field rewriting (F-family)
@@ -2602,7 +2600,6 @@ _SWEEP_FIRST = [
     "enrich_broadcast_geo",
     "anti_orders_without_lineitems",
     "union_sources_counts",
-    "sort_merge_join_revenue",
     # aggregation / windows / streaming (A2-A6, A9, A10, §2.9)
     "distinct_users_by_type",
     "topk_source_per_lang",
@@ -2612,17 +2609,14 @@ _SWEEP_FIRST = [
     "sessionize_user_events",
     "salted_join_order_priority",
     "percentiles_value_by_type",
-    "tpch_q1_pricing",
     "stream_windowed_counts_events",
     # LLM-pipeline basics (text stats, lang-id, fingerprints, sampling)
     "textstats_tokens",
-    "lang_id_confusion",
     "fingerprint_dups",
     "dedup_exact_texts",
     "sample_stratified_langs",
     # near-dup family (capped/filtered = the scale-shaped variants)
     "dedup_minhash_lsh_capped",
-    "dedup_ngram_jaccard_stopfiltered",
     "dedup_simhash48",
     "embed_cosine_topk",
     # --- round-2/3 flagships promoted into the sweep ---
@@ -2632,7 +2626,6 @@ _SWEEP_FIRST = [
     "dedup_dup_clusters",
     "dedup_incremental_new_vs_index",
     "dedup_winnow_overlap",
-    "dedup_embedding_cosine",
     "dedup_lsh_near_dup",
     "webtext_url_canonicalize",
     "webtext_span_dedup",
@@ -2644,6 +2637,16 @@ _SWEEP_FIRST = [
     "textstats_script_profile",
     "textstats_rare_tokens",
     "multimodal_decode_meta",
+    # --- round-4 rotation: first driver rows for the real multimodal
+    # decoders + plumbing, and the new self-observability query; the
+    # seven rotated out are green in >=2 prior driver rounds ---
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    "multimodal_png_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "multimodal_feature_stub",
+    "config_internal_log_counts",
 ]
 
 

@@ -21,6 +21,12 @@ REQUIRED_FLAGSHIPS = [
     "curation_pipeline_counts",
     "adaptive_length_filter",
     "multimodal_decode_meta",
+    # round-4 rotation (VERDICT r3 item 7): the real decoders and the new
+    # self-observability query must hold their driver rows
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    "multimodal_png_decode",
+    "config_internal_log_counts",
 ]
 
 FAMILY_REPS = [
