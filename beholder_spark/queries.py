@@ -2520,6 +2520,58 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/check_oracle.py and the test suite.
 
 @_register(
+    "multimodal_jpeg_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             8 * (doc_id % 3 + 1) AS w,
+             8 * (doc_id % 2 + 1) AS h,
+             doc_id % 256 AS base,
+             doc_id % 97 + 1 AS step
+      FROM documents
+    )
+    SELECT p.doc_id, p.w, p.h, 'jpeg-baseline' AS fmt,
+           CAST(sum(64 * ((p.base + g.i * p.step) % 256)) AS BIGINT) AS sum_r,
+           CAST(sum(64 * ((p.base + g.i * p.step) % 256)) AS BIGINT) AS sum_g,
+           CAST(sum(64 * ((p.base + g.i * p.step) % 256)) AS BIGINT) AS sum_b,
+           TRUE AS parse_ok
+    FROM p, generate_series(0, 5) g(i)
+    WHERE g.i < (p.w // 8) * (p.h // 8)
+    GROUP BY p.doc_id, p.w, p.h
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (`multimodal.decode_jpeg_bytes`: full
+    marker/canonical-Huffman parse, dequant, float64 IDCT, JFIF color
+    convert) over genuine per-row JFIF payloads. The fixture encoder
+    composes coefficient blocks ANALYTICALLY (all-ones quant tables,
+    DC-only solid luma blocks, neutral chroma), which is what makes a
+    LOSSY codec oracle-checkable bit-exact: decoded r=g=b=v per block,
+    so the channel sums have the closed form the DuckDB side computes
+    from first principles (Σ 64·((base + i·step) mod 256) over blocks).
+    With this, MP3/video/progressive-JPEG are all that remain behind
+    the documented stub."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (8 * (F.col("doc_id") % 3 + 1)).alias("w"),
+        (8 * (F.col("doc_id") % 2 + 1)).alias("h"),
+        (F.col("doc_id") % 256).alias("base"),
+        (F.col("doc_id") % 97 + 1).alias("step"),
+    )
+    dec = multimodal.decode_image(
+        multimodal.with_jpeg_payload(docs, "w", "h", "base", "step"), "payload"
+    )
+    return dec.select(
+        "doc_id", "w", "h",
+        F.col("dec_fmt").alias("fmt"),
+        F.col("dec_sum_r").alias("sum_r"),
+        F.col("dec_sum_g").alias("sum_g"),
+        F.col("dec_sum_b").alias("sum_b"),
+        F.col("dec_parse_ok").alias("parse_ok"),
+    )
+
+
+@_register(
     "config_internal_log_counts",
     """
     SELECT 'curate' AS stage,
@@ -2593,7 +2645,6 @@ _SWEEP_FIRST = [
     # routing + config front end (R1-R3, config compiler, textlines source)
     "route_switch_lang",
     "config_switch_routed_counts",
-    "config_textlines_severity_names",
     # field rewriting (F-family)
     "set_replace_keep_drop",
     # enrich / joins (A1, A8, A7, SMJ)
@@ -2647,6 +2698,7 @@ _SWEEP_FIRST = [
     "multimodal_resize_plan",
     "multimodal_feature_stub",
     "config_internal_log_counts",
+    "multimodal_jpeg_decode",
 ]
 
 

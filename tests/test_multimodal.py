@@ -178,3 +178,61 @@ def test_png_gray_rgba_and_failures():
         return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
     bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", zlib.compress(b"\x00" * 13)) + chunk(b"IEND", b"")
     assert mm.decode_png_bytes(bad)[-1] is False
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (r4): analytic coefficient-domain fixtures → bit-exact
+# reconstruction through the real marker/Huffman/IDCT pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_decode_solid_blocks_closed_form():
+    w, h, base, step = 24, 16, 40, 33
+    got = mm.decode_jpeg_bytes(mm.make_jpeg_bytes(w, h, base, step))
+    exp = sum(64 * ((base + i * step) % 256) for i in range((w // 8) * (h // 8)))
+    assert got == (w, h, "jpeg-baseline", exp, exp, exp, True)
+
+
+def test_jpeg_decode_ac_checkerboard_exact_and_clipping():
+    # symmetric checkerboard: ±ac44 cancels in the sum
+    got = mm.decode_jpeg_bytes(mm.make_jpeg_bytes(16, 8, 100, 7, ac44=3))
+    exp = sum(64 * ((100 + i * 7) % 256) for i in range(2))
+    assert got[3:] == (exp, exp, exp, True)
+    # clipping breaks the symmetry DETERMINISTICALLY: v=254, +3 clips to
+    # 255 (each +1 instead of +3), -3 stays 251 → per block 32*1 + 32*(-3)
+    got2 = mm.decode_jpeg_bytes(mm.make_jpeg_bytes(8, 8, 254, 0, ac44=3))
+    exp2 = 64 * 254 + 32 * 1 + 32 * (-3)
+    assert got2[3:] == (exp2, exp2, exp2, True)  # proves AC hits the pixels
+
+
+def test_jpeg_decode_420_gray_and_restarts():
+    # 4:2:0: chroma subsampled + pixel-replication upsample
+    vals = [(10 + i * 5) % 256 for i in range(8)]
+    got = mm.decode_jpeg_bytes(mm.make_jpeg_bytes(32, 16, 10, 5, subsample=True))
+    assert got == (32, 16, "jpeg-baseline", *([sum(64 * v for v in vals)] * 3), True)
+    # grayscale single-component frame
+    gexp = sum(64 * ((77 + i * 13) % 256) for i in range(2))
+    assert mm.decode_jpeg_bytes(mm.make_jpeg_bytes(16, 8, 77, 13, gray=True)) == (
+        16, 8, "jpeg-baseline-gray", gexp, gexp, gexp, True
+    )
+    # restart markers: DC predictors reset per RST segment
+    rexp = sum(64 * ((200 + i * 90) % 256) for i in range(5))
+    assert mm.decode_jpeg_bytes(mm.make_jpeg_bytes(40, 8, 200, 90, restart_interval=2)) == (
+        40, 8, "jpeg-baseline", rexp, rexp, rexp, True
+    )
+
+
+def test_jpeg_decode_fail_closed():
+    good = mm.make_jpeg_bytes(16, 8, 50, 3)
+    assert mm.decode_jpeg_bytes(good[: len(good) // 2])[-1] is False  # truncated
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2  # progressive frame marker
+    assert mm.decode_jpeg_bytes(bytes(prog))[-1] is False
+    # corrupt a Huffman table id in SOS → undefined table
+    bad = bytearray(good)
+    sos = bad.index(b"\xff\xda")
+    bad[sos + 6] = 0x57  # Y component now names tables 5/7 (never defined)
+    assert mm.decode_jpeg_bytes(bytes(bad))[-1] is False
+    assert mm.decode_jpeg_bytes(b"\xff\xd8\xff\xe0")[-1] is False  # header only
+    # dispatcher: JPEG magic routes to the real decoder
+    assert mm.decode_image_bytes(good)[2] == "jpeg-baseline"

@@ -26,6 +26,7 @@ REQUIRED_FLAGSHIPS = [
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "multimodal_png_decode",
+    "multimodal_jpeg_decode",
     "config_internal_log_counts",
 ]
 
