@@ -6,6 +6,15 @@ small band-signature keys, never on O(n²) document pairs. Every hash is
 md5-derived (not Spark's xxhash64) precisely so the DuckDB oracle can
 reproduce signatures bit-for-bit.
 
+PRODUCTION HASH KNOB: md5 is the oracle-reproducibility choice, not a
+similarity requirement — any uniform hash gives statistically identical
+sketches. A throughput-bound deployment can swap the ``F.md5(...)``
+digests here (and in textstats/webtext fingerprints) for ``xxhash64``:
+~3-5× cheaper per hash, all-JVM, and the signature/band/bucket shapes
+below are unchanged. The trade is losing bit-exact DuckDB twins (the
+correctness gate would drop to rows-only), which is why this repo pins
+md5 everywhere tested paths hash.
+
 At 100 TB: the explode(shingles) stage is a generator (no shuffle); the
 signature groupBy shuffles (doc_id → K minhash strings) ≈ K·32 bytes/doc;
 the band self-join shuffles band keys only. Skewed buckets (boilerplate
