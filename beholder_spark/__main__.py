@@ -86,11 +86,12 @@ def main(argv: list[str] | None = None) -> int:
 
 def _run_daemon(spark, p, args) -> int:
     """Daemon execution (`beholder -c config` parity): `from udp` configs
-    get the datagram→spool bridge; others tail --pages as a file stream.
-    Both run under the hot-reload supervisor (SIGHUP / config-mtime swap
-    of the pipeline STAGES — for UDP configs the datagram listeners stay
-    bound across reloads; changing ports/spools needs a restart, the
-    spool directory being the stable handoff point)."""
+    get the datagram→spool bridge, `from tcp … as syslog-frame` configs
+    the RFC6587 frame bridge; others tail --pages as a file stream.
+    All run under the hot-reload supervisor (SIGHUP / config-mtime swap
+    of the pipeline STAGES — the listeners stay bound across reloads;
+    changing ports/spools needs a restart, the spool directory being the
+    stable handoff point)."""
     import os
     import time
 
@@ -104,22 +105,33 @@ def _run_daemon(spark, p, args) -> int:
     deadline = time.monotonic() + args.daemon_seconds if args.daemon_seconds else None
 
     bridges = []
-    if first_from is not None and first_from.args and first_from.args[0].value == "udp":
+    probe = C.compile_config(text)
+    if first_from is not None and first_from.args and first_from.args[0].value in ("udp", "tcp"):
+        probe(None, spark=spark)  # records the ingest declarations
+    if probe.udp_ingest or probe.tcp_frame_ingest:
         # start the listeners once, from the declared specs; the
         # supervisor's self-sourcing recompiles re-tail the same spools
-        from beholder_spark.sources import UdpSpoolBridge
+        from beholder_spark.sources import TcpSyslogFrameBridge, UdpSpoolBridge
 
-        probe = C.compile_config(text)
-        probe(None, spark=spark)  # records udp_ingest (stream df discarded)
         for spec in probe.udp_ingest:
             b = UdpSpoolBridge(spec["spool"], port=spec["port"], flush_secs=0.2)
             b.start()
             bridges.append(b)
+        for spec in probe.tcp_frame_ingest:
+            b = TcpSyslogFrameBridge(
+                spec["spool"], host=spec["host"], port=spec["port"], flush_secs=0.2
+            )
+            b.start()
+            bridges.append(b)
         stream_factory = lambda: None  # noqa: E731 — self-sourcing config
-        banner = f"daemon: listening udp port {bridges[0].port} → {args.out}"
+        kind = "udp" if probe.udp_ingest else "tcp syslog-frame"
+        banner = f"daemon: listening {kind} port {bridges[0].port} → {args.out}"
     else:
         if not args.pages:
-            p.error("--daemon without a `from udp` config requires --pages (streaming source dir)")
+            p.error(
+                "--daemon without a `from udp`/`from tcp … as syslog-frame` "
+                "config requires --pages (streaming source dir)"
+            )
         schema = spark.read.parquet(args.pages).schema
         stream_factory = lambda: spark.readStream.schema(schema).parquet(args.pages)  # noqa: E731
         banner = f"daemon: streaming {args.pages} → {args.out}"

@@ -708,6 +708,72 @@ def test_cli_daemon_udp(spark, tmp_path):
     assert rc_box == [0]
 
 
+def test_cli_daemon_tcp_syslog_frame(spark, tmp_path):
+    """CLI `--daemon` with a `from tcp … as syslog-frame` config: the
+    RFC6587 frame bridge starts from the entry point (no --pages needed),
+    octet-counted frames land in the manifested sink, and the bounded
+    run exits 0 — full parity with the udp daemon path."""
+    import socket
+    import threading
+    import time
+
+    from beholder_spark.__main__ import main
+    from beholder_spark.plans import lineage as ln
+
+    # pre-probe a free TCP port (same pattern as the udp CLI test)
+    probe = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    spool = tmp_path / "spool"
+    conf = tmp_path / "d.conf"
+    conf.write_text(
+        f"from tcp 127.0.0.1 {port} as syslog-frame spool '{spool}';\n"
+        "parse syslog keep-unparsed;\nkeep $severity $parse_ok;\n"
+    )
+    out = str(tmp_path / "out")
+    rc_box: list[int] = []
+    t = threading.Thread(
+        target=lambda: rc_box.append(
+            main(["--daemon", "--config", str(conf), "--out", out, "--daemon-seconds", "60"])
+        ),
+        daemon=True,
+    )
+    t.start()
+    # wait for the bridge to bind, then send octet-counted frames
+    deadline = time.monotonic() + 20
+    cli = None
+    while time.monotonic() < deadline:
+        try:
+            cli = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            cli.connect(("127.0.0.1", port))
+            break
+        except OSError:
+            cli.close()
+            cli = None
+            time.sleep(0.3)
+    assert cli is not None, "frame bridge never bound its port"
+    for i in range(12):
+        msg = f"<{i % 16}>1 2026-05-02T00:00:00Z h p - - - cli tcp {i}".encode()
+        cli.sendall(str(len(msg)).encode() + b" " + msg)
+    cli.close()
+
+    def rows():
+        try:
+            return ln.read_stage(spark, out, "config_sink", "_batch").count()
+        except Exception:
+            return 0
+
+    deadline = time.monotonic() + 55
+    while rows() < 12 and time.monotonic() < deadline:
+        time.sleep(0.5)
+    assert rows() == 12
+    t.join(90)
+    assert rc_box == [0]
+
+
 def test_config_from_tcp_syslog_frame_daemon(spark, tmp_path):
     """`from tcp <host> <port> as syslog-frame spool '<dir>'`: the daemon
     runner starts the RFC6587 octet-counted TCP bridge; framed messages —
