@@ -1176,7 +1176,11 @@ def _minhash_lane(j: int) -> str:
     return f"min(substring(md5('{salt}:' || shingle), {lane * 8 + 1}, 8)) AS h{j}"
 
 
-def _minhash_sql(k: int = 8, bands: int = 4, cap: int | None = None) -> str:
+def _minhash_ctes(k: int = 8, bands: int = 4, cap: int | None = None) -> tuple[str, str]:
+    """(cte_block, pairs_select): the shingle→sig→band CTEs plus the
+    bucket self-join, assuming a ``corpus(doc_id, text)`` CTE in scope —
+    reusable by both the standalone pair queries and the composed
+    fuzzy-dedup pipeline oracle."""
     mins = ",\n             ".join(_minhash_lane(j) for j in range(k))
     rows = k // bands
     band_selects = "\n      UNION ALL ".join(
@@ -1195,9 +1199,7 @@ def _minhash_sql(k: int = 8, bands: int = 4, cap: int | None = None) -> str:
     )"""
     )
     src = "bands" if cap is None else "capped"
-    return f"""
-    WITH corpus AS ({_CORPUS_SQL}),
-    shingles AS (
+    ctes = f"""shingles AS (
       SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
            (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)
@@ -1208,10 +1210,19 @@ def _minhash_sql(k: int = 8, bands: int = 4, cap: int | None = None) -> str:
     ),
     bands AS (
       {band_selects}
-    ){capped}
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    ){capped}"""
+    pairs = f"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM {src} a JOIN {src} b ON a.band = b.band AND a.bucket = b.bucket
-    WHERE a.doc_id < b.doc_id
+    WHERE a.doc_id < b.doc_id"""
+    return ctes, pairs
+
+
+def _minhash_sql(k: int = 8, bands: int = 4, cap: int | None = None) -> str:
+    ctes, pairs = _minhash_ctes(k, bands, cap)
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {ctes}
+    {pairs}
     """
 
 
@@ -2519,6 +2530,75 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # past the cutoff stays registered and is still verified by
 # tools/check_oracle.py and the test suite.
 
+_FUZZY_CTES, _FUZZY_PAIRS = _minhash_ctes()
+
+
+@_register(
+    "dedup_fuzzy_pipeline_counts",
+    f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra token here' AS text, lang
+      FROM documents WHERE doc_id < 50
+    ),
+    {_FUZZY_CTES},
+    pairs AS ({_FUZZY_PAIRS}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    clusters AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+    survivors AS (
+      SELECT c.doc_id, c.lang, coalesce(cl.cluster_id, c.doc_id) AS cluster_id
+      FROM corpus c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE doc_id = cluster_id) AS n_survivors,
+           count(*) FILTER (WHERE doc_id <> cluster_id) AS n_dropped
+    FROM survivors GROUP BY lang
+    """,
+)
+def dedup_fuzzy_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL fuzzy dedup as ONE composed pipeline (the FineWeb-style
+    operation a training corpus actually runs): MinHash+LSH candidate
+    pairs → connected components → canonical-survivor selection (keep
+    the min-doc_id member of every duplicate cluster; singletons keep
+    themselves) → per-language survivor accounting. The oracle replays
+    the ENTIRE chain in DuckDB — signatures, banding, recursive-CTE
+    reachability, survivor rule — so one hash match proves every stage.
+
+    Scale shape: the expensive parts are exactly the audited pieces
+    (bucket join with deterministic caps; min-label propagation with one
+    equi-join per round); the survivor step adds one broadcast-sized
+    left join of cluster labels (near-dup clusters are a small fraction
+    of the corpus) and a zero-shuffle count aggregate."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token here")).alias("text"),
+        F.col("lang"),
+    )
+    corpus = d.unionByName(dups)
+    pairs = dd.minhash_candidate_pairs(corpus, "doc_id", "text", shingle_n=3)
+    cc = dd.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    sv = corpus.join(cc, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    return sv.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("doc_id") == F.col("cluster_id")).alias("n_survivors"),
+        F.count_if(F.col("doc_id") != F.col("cluster_id")).alias("n_dropped"),
+    )
+
+
 @_register(
     "multimodal_jpeg_decode",
     """
@@ -2663,7 +2743,6 @@ _SWEEP_FIRST = [
     "stream_windowed_counts_events",
     # LLM-pipeline basics (text stats, lang-id, fingerprints, sampling)
     "textstats_tokens",
-    "fingerprint_dups",
     "dedup_exact_texts",
     "sample_stratified_langs",
     # near-dup family (capped/filtered = the scale-shaped variants)
@@ -2699,6 +2778,7 @@ _SWEEP_FIRST = [
     "multimodal_feature_stub",
     "config_internal_log_counts",
     "multimodal_jpeg_decode",
+    "dedup_fuzzy_pipeline_counts",
 ]
 
 

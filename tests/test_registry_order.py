@@ -28,6 +28,7 @@ REQUIRED_FLAGSHIPS = [
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
     "config_internal_log_counts",
+    "dedup_fuzzy_pipeline_counts",
 ]
 
 FAMILY_REPS = [
