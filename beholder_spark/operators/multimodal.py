@@ -248,9 +248,9 @@ def decode_ppm_bytes(payload: bytes | None) -> tuple:
 
 
 def decode_image_bytes(payload: bytes | None) -> tuple:
-    """Magic-byte dispatch: real decode for BMP/PPM/PNG/baseline-JPEG,
-    fail-closed else (progressive JPEG, MP3 and video stay in the
-    documented stub domain)."""
+    """Magic-byte dispatch: real decode for BMP/PPM/PNG/baseline-JPEG/GIF,
+    fail-closed else (progressive JPEG and full audio/video decode stay
+    in the documented stub domain)."""
     if payload is None:
         return _FAIL
     if payload[:2] == b"BM":
@@ -261,6 +261,8 @@ def decode_image_bytes(payload: bytes | None) -> tuple:
         return decode_png_bytes(payload)
     if bytes(payload[:3]) == b"\xff\xd8\xff":
         return decode_jpeg_bytes(payload)
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        return decode_gif_bytes(payload)
     return _FAIL
 
 
@@ -1010,3 +1012,508 @@ def with_jpeg_payload(
 ) -> DataFrame:
     """Deterministic baseline-JPEG fixture column (see :func:`make_jpeg_bytes`)."""
     return df.withColumn(out, _make_jpeg_udf(F.struct(w_col, h_col, base_col, step_col)))
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF decode (r4). After JPEG, GIF is the web's other ubiquitous
+# legacy image format, and its LZW stream needs no codec libs. Decode
+# SPEC, pinned here (change this comment, not behavior):
+#   - GIF87a/GIF89a magic; logical screen descriptor; the FIRST image
+#     frame only is decoded (animation frames after it are ignored);
+#     extensions before it are skipped structurally (sub-block walk).
+#   - Color table: local table overrides global; no table at all is a
+#     violation. Reported dims are the first frame's (not the screen's).
+#   - LZW: variable-width codes (min-code-size 2..8 -> widths 3..12),
+#     strict: a code beyond the table, data exhausted before w*h pixels,
+#     an index >= palette size, or EOI before w*h pixels all fail
+#     closed. Bits after the w*h-th pixel are ignored (real encoders
+#     sometimes omit EOI). Dictionary caps at 4096 per the spec.
+#   - Interlace flag honored (4-pass row order). GIF89a transparency is
+#     IGNORED for channel sums: every pixel sums its palette RGB.
+#   Any violation -> parse_ok False, other fields NULL (P7 contract).
+# ---------------------------------------------------------------------------
+
+
+def _gif_skip_subblocks(payload: bytes, pos: int):
+    """Walk a sub-block chain; return position after its terminator or
+    None if it runs off the end."""
+    while True:
+        if pos >= len(payload):
+            return None
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            return pos
+        pos += ln
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int):
+    """Strict GIF-flavor LZW: LSB-first packed variable-width codes.
+    Returns exactly n_pixels index bytes, or None on any violation."""
+    clear = 1 << mcs
+    end = clear + 1
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < n_pixels:
+        if bitpos + width > total_bits:
+            return None
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            return None  # EOI before all pixels decoded
+        if code < len(table) and (code < clear or len(table[code])):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def decode_gif_bytes(payload: bytes | None) -> tuple:
+    """REAL GIF decode (see SPEC block above): header/descriptor parse,
+    strict LZW inflate of the first frame, palette-mapped RGB channel
+    sums via numpy. Output matches IMAGE_DECODED_SCHEMA."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 13 or bytes(payload[:6]) not in (b"GIF87a", b"GIF89a"):
+        return _FAIL
+    _sw, _sh, packed, _bg, _par = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if len(payload) < pos + 3 * n:
+            return _FAIL
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while True:  # walk to the first image descriptor
+        if pos >= len(payload):
+            return _FAIL
+        block = payload[pos]
+        pos += 1
+        if block == 0x2C:
+            break
+        if block == 0x21:  # extension: label byte + sub-block chain
+            pos = _gif_skip_subblocks(payload, pos + 1)
+            if pos is None:
+                return _FAIL
+            continue
+        return _FAIL  # trailer (0x3B) or junk before any frame
+    if len(payload) < pos + 9:
+        return _FAIL
+    _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    if w == 0 or h == 0:
+        return _FAIL
+    ct = gct
+    if ipacked & 0x80:  # local color table overrides
+        n = 2 << (ipacked & 7)
+        if len(payload) < pos + 3 * n:
+            return _FAIL
+        ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    if ct is None or pos >= len(payload):
+        return _FAIL
+    mcs = payload[pos]
+    pos += 1
+    if mcs < 2 or mcs > 8:
+        return _FAIL
+    chunks = []
+    while True:  # image data sub-block chain
+        if pos >= len(payload):
+            return _FAIL
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            break
+        if len(payload) < pos + ln:
+            return _FAIL
+        chunks.append(payload[pos : pos + ln])
+        pos += ln
+    idx = _gif_lzw_decode(b"".join(chunks), mcs, w * h)
+    if idx is None:
+        return _FAIL
+    arr = np.frombuffer(idx, np.uint8)
+    if int(arr.max(initial=0)) >= len(ct):
+        return _FAIL
+    if ipacked & 0x40:  # interlaced: rows stored in 4-pass order
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        rows = np.empty((h, w), np.uint8)
+        rows[order] = arr.reshape(h, w)
+        arr = rows.reshape(-1)
+    sums = ct[arr].astype(np.int64).sum(axis=0)
+    return (int(w), int(h), "gif", int(sums[0]), int(sums[1]), int(sums[2]), True)
+
+
+def _gif_lzw_encode_literals(indices: bytes, mcs: int) -> bytes:
+    """Minimal valid LZW stream: CLEAR then one literal code per pixel,
+    tracking the decoder's table growth so each code is emitted at the
+    width the decoder will read it with (the classic 'uncompressed GIF'
+    technique — correctness over ratio; the DECODER handles real
+    compression)."""
+    clear = 1 << mcs
+    end = clear + 1
+    width = mcs + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, w: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    table_len = clear + 2
+    first = True
+    for v in indices:
+        emit(v, width)
+        if not first and table_len < 4096:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+        first = False
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif_bytes(w: int, h: int, g: int, interlace: bool = False) -> bytes:
+    """Deterministic GIF89a fixture: 256-entry global palette with entry
+    i = (i, g, 7); pixel (x, y) uses index (x + y) % 256. For w + h <= 257
+    the channel sums have the same closed form as the PNG fixture:
+    sum_r = w*h*(w+h-2)/2, sum_g = w*h*g, sum_b = 7*w*h. A GCE extension
+    block is included so decode exercises the extension-skip path."""
+    import struct
+
+    if w <= 0 or h <= 0 or w + h > 257:
+        raise ValueError("fixture needs 0 < w, h with w + h <= 257")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT present, 256 entries
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes((i, g % 256, 7))
+    out += pal
+    out += bytes((0x21, 0xF9, 4, 0, 0, 0, 0, 0))  # GCE: no transparency, then terminator
+    out += bytes((0x2C,)) + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    if interlace:
+        row_order = (
+            list(range(0, h, 8)) + list(range(4, h, 8)) + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+    else:
+        row_order = range(h)
+    idx = bytearray()
+    for y in row_order:
+        for x in range(w):
+            idx.append((x + y) % 256)
+    out.append(8)  # LZW min code size
+    stream = _gif_lzw_encode_literals(bytes(idx), 8)
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += bytes((0x00, 0x3B))  # block terminator + trailer
+    return bytes(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def _make_gif_udf(cols: pd.DataFrame) -> pd.Series:
+    return pd.Series([make_gif_bytes(int(w), int(h), int(g)) for w, h, g in cols.itertuples(index=False)])
+
+
+def with_gif_payload(df: DataFrame, w_col: str, h_col: str, g_col: str, out: str = "payload") -> DataFrame:
+    """Deterministic GIF fixture column (see :func:`make_gif_bytes`)."""
+    return df.withColumn(out, _make_gif_udf(F.struct(w_col, h_col, g_col)))
+
+
+# ---------------------------------------------------------------------------
+# REAL video frame sampling (r4): AVI/MJPEG. The brief's video slot
+# (`sample_frames` above is the byte-stride stub) becomes real for the
+# one video container that needs no codec libs beyond the JPEG decoder
+# already in this module: RIFF/AVI carrying MJPEG, where every frame is
+# a complete JFIF image. Container SPEC, pinned here:
+#   - 'RIFF' <size> 'AVI ' magic; top-level chunks walked with RIFF
+#     even-byte padding; the LIST 'movi' chunk holds the frames.
+#   - Video frames are chunks whose fourcc matches [0-9][0-9]d[bc]
+#     ('00dc' compressed / '00db' uncompressed naming), in file order;
+#     LIST 'rec ' groups are descended into (one level, as interleaved
+#     AVIs write them). Other chunks (audio '01wb', index 'idx1') skip.
+#   - hdrl/avih is NOT enforced (real muxers write wrong dwTotalFrames);
+#     frame count is what the movi list actually carries.
+#   - Sampling: every_n-th frame (frame_no % every_n == 0) is DECODED
+#     through decode_image_bytes; a sampled frame that fails its decode
+#     emits its row with parse_ok False. A malformed CONTAINER emits
+#     ONE row (frame_no NULL, parse_ok False) so quarantine is countable
+#     (P7 contract). Skipped frames cost zero decode work.
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("frame_no", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("parse_ok", T.BooleanType(), True),
+    ]
+)
+
+
+def _avi_video_chunks(payload: bytes):
+    """Walk a RIFF/AVI container; yield the raw bytes of each video
+    frame chunk in file order. Returns None on container violations."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    end = min(len(payload), 8 + riff_size)
+    frames = []
+
+    def walk(pos: int, stop: int, in_movi: bool, depth: int):
+        while pos + 8 <= stop:
+            fourcc = payload[pos : pos + 4]
+            csize = struct.unpack_from("<I", payload, pos + 4)[0]
+            body, nxt = pos + 8, pos + 8 + csize + (csize & 1)
+            if body + csize > stop:
+                return None
+            if fourcc == b"LIST":
+                if csize < 4:
+                    return None
+                ltype = payload[body : body + 4]
+                if (not in_movi and ltype == b"movi") or (
+                    in_movi and ltype == b"rec " and depth < 1
+                ):
+                    if walk(body + 4, body + csize, True, depth + (1 if in_movi else 0)) is None:
+                        return None
+            elif in_movi and (
+                fourcc[:2].isdigit() and fourcc[2:2 + 1] == b"d" and fourcc[3:4] in (b"b", b"c")
+            ):
+                frames.append(payload[body : body + csize])
+            pos = nxt
+        return pos
+
+    if walk(12, end, False, 0) is None:
+        return None
+    return frames
+
+
+def sample_video_frames(
+    df: DataFrame, bin_col: str, id_col: str, every_n: int = 2, out_schema: T.StructType = VIDEO_FRAME_SCHEMA
+) -> DataFrame:
+    """REAL video frame sampling over AVI/MJPEG payloads (see container
+    SPEC above): one output row per SAMPLED frame, decoded through
+    :func:`decode_image_bytes`. Same multiplicity-changing mapInPandas
+    shape as the stub :func:`sample_frames`; at 100 TB the decode rides
+    the scan, per-payload work is Arrow-batch bounded, and skipped
+    frames are never decoded."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                rid = int(rid)
+                frames = _avi_video_chunks(payload)
+                if frames is None:
+                    rows.append((rid, None, None, None, None, None, None, False))
+                    continue
+                for i in range(0, len(frames), every_n):
+                    w, h, _fmt, sr, sg, sb, ok = decode_image_bytes(frames[i])
+                    rows.append((rid, i, w, h, sr, sg, sb, ok))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def make_avi_bytes(frames: list[bytes], w: int = 8, h: int = 8) -> bytes:
+    """Deterministic AVI/MJPEG fixture: minimal hdrl (avih) + movi list
+    of '00dc' chunks, RIFF even-padding respected."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack("<14I", 33367, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@F.pandas_udf(T.BinaryType())
+def _make_avi_udf(cols: pd.DataFrame) -> pd.Series:
+    out = []
+    for nf, base, step in cols.itertuples(index=False):
+        frames = [make_jpeg_bytes(8, 8, (int(base) + i * int(step)) % 256, 0) for i in range(int(nf))]
+        out.append(make_avi_bytes(frames))
+    return pd.Series(out)
+
+
+def with_avi_payload(
+    df: DataFrame, nf_col: str, base_col: str, step_col: str, out: str = "payload"
+) -> DataFrame:
+    """Deterministic AVI/MJPEG fixture column: nf single-block 8x8
+    analytic JPEG frames, frame i solid value (base + i*step) mod 256."""
+    return df.withColumn(out, _make_avi_udf(F.struct(nf_col, base_col, step_col)))
+
+
+# ---------------------------------------------------------------------------
+# REAL MP3 frame-header walk (r4): audio METADATA parse without a DSP
+# decode (full MDCT synthesis stays behind the documented stub; curation
+# pipelines overwhelmingly need duration/bitrate/samplerate screening,
+# which the frame walk gives exactly). Parse SPEC, pinned here:
+#   - Optional ID3v2 tag at byte 0 ('ID3', 10-byte header, syncsafe
+#     size) is skipped; ID3v1 ('TAG', 128 bytes) at EOF is skipped.
+#   - Frames: MPEG-1 Layer III only (sync 0xFFE, version 11, layer 01);
+#     bitrate index 1..14, samplerate index 0..2, no free-format.
+#     frame_len = 144000 * bitrate_kbps // samplerate + padding.
+#   - STRICT walk: frames must tile the payload exactly (after tag
+#     skips); any gap, truncated frame, or header violation fails
+#     closed. Samplerate must be constant across frames; bitrate may
+#     vary (VBR) and is reported as the exact integer sum.
+#   - duration_ms = n_frames * 1152 * 1000 // samplerate (integer, so
+#     the DuckDB oracle reproduces it bit-for-bit).
+# ---------------------------------------------------------------------------
+
+MP3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MP3_SAMPLERATES = (44100, 48000, 32000)
+
+MP3_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("sum_bitrate_kbps", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("parse_ok", T.BooleanType(), True),
+    ]
+)
+
+_MP3_FAIL = (None, None, None, None, False)
+
+
+def parse_mp3_meta_bytes(payload: bytes | None) -> tuple:
+    """Walk MPEG-1 Layer III frame headers (see SPEC above): returns
+    (n_frames, sample_rate, sum_bitrate_kbps, duration_ms, parse_ok)."""
+    if payload is None or len(payload) < 4:
+        return _MP3_FAIL
+    pos = 0
+    end = len(payload)
+    if payload[:3] == b"ID3":
+        if end < 10:
+            return _MP3_FAIL
+        sz = payload[6:10]
+        if any(b & 0x80 for b in sz):
+            return _MP3_FAIL  # syncsafe bytes must have bit 7 clear
+        pos = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
+    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    n_frames = 0
+    samplerate = None
+    sum_bitrate = 0
+    while pos < end:
+        if pos + 4 > end:
+            return _MP3_FAIL
+        b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+        # sync (11 bits) + version 11 (MPEG-1) + layer 01 (III): 0xFF 0xFB/0xFA
+        if b0 != 0xFF or (b1 & 0xFE) != 0xFA:
+            return _MP3_FAIL
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        if br_idx == 0 or br_idx == 15 or sr_idx == 3:
+            return _MP3_FAIL  # free-format / reserved
+        sr = MP3_SAMPLERATES[sr_idx]
+        if samplerate is None:
+            samplerate = sr
+        elif sr != samplerate:
+            return _MP3_FAIL
+        kbps = MP3_BITRATES[br_idx - 1]
+        flen = 144000 * kbps // sr + padding
+        if pos + flen > end:
+            return _MP3_FAIL  # truncated frame
+        n_frames += 1
+        sum_bitrate += kbps
+        pos += flen
+    if n_frames == 0:
+        return _MP3_FAIL
+    return (n_frames, samplerate, sum_bitrate, n_frames * 1152 * 1000 // samplerate, True)
+
+
+def parse_mp3_meta(df: DataFrame, bin_col: str, out_prefix: str = "mp3_") -> DataFrame:
+    """MP3 metadata over a binary column via the same mapInPandas shape
+    as :func:`decode_audio`; violations quarantine with parse_ok False."""
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [T.StructField(out_prefix + f.name, f.dataType, True) for f in MP3_META_SCHEMA.fields]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pdf[bin_col].map(parse_mp3_meta_bytes)
+            for i, f in enumerate(MP3_META_SCHEMA.fields):
+                pdf[out_prefix + f.name] = meta.map(lambda t, i=i: t[i])
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def make_mp3_bytes(n_frames: int, br_start: int, sr_idx: int = 0, with_id3: bool = True) -> bytes:
+    """Deterministic MP3 fixture: n_frames MPEG-1 Layer III headers with
+    zeroed payloads; frame i uses bitrate index ((br_start + i) % 14) + 1
+    (VBR), padding bit off. Optionally prefixed with a minimal ID3v2 tag."""
+    out = bytearray()
+    if with_id3:
+        body = b"\x00" * 17
+        out += b"ID3\x04\x00\x00" + bytes((0, 0, 0, len(body))) + body
+    sr = MP3_SAMPLERATES[sr_idx]
+    for i in range(n_frames):
+        br_idx = (br_start + i) % 14 + 1
+        kbps = MP3_BITRATES[br_idx - 1]
+        flen = 144000 * kbps // sr
+        hdr = bytes((0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00))
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def _make_mp3_udf(cols: pd.DataFrame) -> pd.Series:
+    return pd.Series(
+        [make_mp3_bytes(int(n), int(b)) for n, b in cols.itertuples(index=False)]
+    )
+
+
+def with_mp3_payload(df: DataFrame, nf_col: str, br_col: str, out: str = "payload") -> DataFrame:
+    """Deterministic MP3 fixture column (see :func:`make_mp3_bytes`)."""
+    return df.withColumn(out, _make_mp3_udf(F.struct(nf_col, br_col)))

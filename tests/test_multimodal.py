@@ -236,3 +236,196 @@ def test_jpeg_decode_fail_closed():
     assert mm.decode_jpeg_bytes(b"\xff\xd8\xff\xe0")[-1] is False  # header only
     # dispatcher: JPEG magic routes to the real decoder
     assert mm.decode_image_bytes(good)[2] == "jpeg-baseline"
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF decode (r4): strict LZW + palette mapping, handcrafted bytes
+# independent of the fixture encoder, and the fail-closed paths
+# ---------------------------------------------------------------------------
+
+
+def _gif_handcrafted_2x1() -> bytes:
+    # 2x1 GIF87a, 4-entry global palette, mcs=2; pixels = indices 1, 2.
+    # LZW (width 3, LSB-first): CLEAR(100) 001 010 END(101)
+    # bits: 100 001 010 101 -> bytes LSB-first: 0b10001100=0x8C, 0b1010=0x0A
+    pal = bytes((10, 20, 30,  1, 2, 3,  4, 5, 6,  7, 8, 9))
+    return (
+        b"GIF87a" + struct.pack("<HHBBB", 2, 1, 0x81, 0, 0) + pal
+        + bytes((0x2C,)) + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+        + bytes((2, 2, 0x8C, 0x0A, 0x00, 0x3B))
+    )
+
+
+def test_gif_decode_handcrafted_bytes():
+    w, h, fmt, sr, sg, sb, ok = mm.decode_gif_bytes(_gif_handcrafted_2x1())
+    assert (w, h, fmt, ok) == (2, 1, "gif", True)
+    assert (sr, sg, sb) == (1 + 4, 2 + 5, 3 + 6)  # palette entries 1 and 2
+
+
+def test_gif_fixture_roundtrip_closed_form_and_interlace():
+    for w, h, g in [(4, 2, 0), (20, 9, 255), (40, 30, 7)]:  # 1200 px forces width growth
+        want = (w, h, "gif", w * h * (w + h - 2) // 2, w * h * g, 7 * w * h, True)
+        assert mm.decode_gif_bytes(mm.make_gif_bytes(w, h, g)) == want
+        assert mm.decode_gif_bytes(mm.make_gif_bytes(w, h, g, interlace=True)) == want
+    # dispatch reaches the GIF path
+    assert mm.decode_image_bytes(mm.make_gif_bytes(4, 2, 9))[2] == "gif"
+
+
+def test_gif_lzw_real_compression_and_kwkwk():
+    # A REAL LZW stream the literal-only encoder never emits: 'aabbb'-style
+    # repeats force dictionary hits including the KwKwK corner (code ==
+    # next free slot). mcs=2: CLEAR=4 END=5, width 3.
+    # pixels 0 0 1 1 1: codes CLEAR 0 6(KwKwK: 00) ... build directly:
+    #   CLEAR, 0, 6?  table after '0': {6:'00'} pending — decoder: code 6
+    #   == len(table) uses prev+prev[0] = '00' -> pixels 0,0,0. Use target
+    #   pixels 0 0 0 1 1 1: codes CLEAR 0 6 1 8; after 6: table 6='00',
+    #   prev='00'; code 1 -> out '1', table 7='000'... wait 7='0'+'1'? no:
+    #   append prev+entry[0] = '00'+'1' -> 7='001'; code 8 == len(table)
+    #   -> prev+prev[0] = '1'+'1' = '11' -> pixels ...1,1,1 total 000111.
+    bits = [(4, 3), (0, 3), (6, 3), (1, 3), (8, 4)]  # width grows to 4 after 8 entries
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    for code, width in bits:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out = mm._gif_lzw_decode(bytes(data), 2, 6)
+    assert out == bytes((0, 0, 0, 1, 1, 1))
+
+
+def test_gif_decode_fail_closed():
+    good = mm.make_gif_bytes(6, 4, 50)
+    assert mm.decode_gif_bytes(good[:20])[-1] is False  # truncated in palette
+    assert mm.decode_gif_bytes(good[:-10])[-1] is False  # truncated in data
+    assert mm.decode_gif_bytes(b"GIF90a" + good[6:])[-1] is False  # bad version
+    # no color table anywhere (GCT flag cleared; palette bytes parse as junk)
+    nogct = bytearray(good)
+    nogct[10] &= 0x7F
+    assert mm.decode_gif_bytes(bytes(nogct))[-1] is False
+    # index beyond palette: 2-entry local palette, literal code 3 in stream
+    # width-3 codes LSB-first: CLEAR(100) then 3(011) -> bits 011100 = 0x1C
+    bad_idx = (
+        b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0)
+        + bytes((0x2C,)) + struct.pack("<HHHHB", 0, 0, 1, 1, 0x80)  # LCT size 0 -> 2 entries
+        + bytes((10, 20, 30, 1, 2, 3))
+        + bytes((2, 1, 0x1C, 0x00, 0x3B))
+    )
+    assert mm.decode_gif_bytes(bad_idx)[-1] is False
+    # EOI before all pixels decoded fails closed:
+    # bits CLEAR(100) END(101) -> 101100 = 0x2C
+    short = (
+        b"GIF87a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+        + bytes((10, 20, 30, 1, 2, 3))
+        + bytes((0x2C,)) + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+        + bytes((2, 1, 0x2C, 0x00, 0x3B))
+    )
+    assert mm.decode_gif_bytes(short)[-1] is False
+    # trailer before any image descriptor
+    noimg = b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + bytes((0x3B,))
+    assert mm.decode_gif_bytes(noimg)[-1] is False
+    # bad LZW min code size
+    badmcs = bytearray(good)
+    # mcs byte sits right after the image descriptor (6+7 header, 768 GCT,
+    # 8 GCE extension, 10 descriptor)
+    pos = 6 + 7 + 768 + 8 + 10
+    assert good[pos] == 8
+    badmcs[pos] = 12
+    assert mm.decode_gif_bytes(bytes(badmcs))[-1] is False
+
+
+# ---------------------------------------------------------------------------
+# REAL AVI/MJPEG frame sampling (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_rec_list_nesting_and_stream_numbers():
+    f0 = mm.make_jpeg_bytes(8, 8, 10, 0)
+    f1 = mm.make_jpeg_bytes(8, 8, 20, 0)
+    # frames wrapped in a LIST 'rec ' group + an audio chunk to skip
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    rec = chunk(b"LIST", b"rec " + chunk(b"00dc", f0) + chunk(b"01wb", b"\x00" * 10) + chunk(b"01dc", f1))
+    body = b"AVI " + chunk(b"LIST", b"movi" + rec)
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = mm._avi_video_chunks(avi)
+    assert got == [f0, f1]  # both video streams, audio skipped
+
+
+def test_avi_sampler_spark_rows_and_quarantine(spark):
+    import pandas as pd
+
+    good = mm.make_avi_bytes([mm.make_jpeg_bytes(8, 8, (5 + 7 * i) % 256, 0) for i in range(5)])
+    badframe = mm.make_avi_bytes([b"not a jpeg at all!"])
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "payload": [good, b"garbage", badframe]})
+    df = spark.createDataFrame(pdf)
+    rows = {
+        (r["id"], r["frame_no"]): r
+        for r in mm.sample_video_frames(df, "payload", "doc_id", every_n=2).collect()
+    }
+    # doc 1: frames 0, 2, 4 sampled and decoded
+    for i in (0, 2, 4):
+        v = (5 + 7 * i) % 256
+        r = rows[(1, i)]
+        assert (r["width"], r["sum_r"], r["parse_ok"]) == (8, 64 * v, True)
+    assert (1, 1) not in rows and (1, 3) not in rows  # skipped frames never appear
+    # doc 2: malformed container -> ONE quarantine row
+    assert rows[(2, None)]["parse_ok"] is False
+    # doc 3: container fine, frame 0 sampled but fails its decode
+    r3 = rows[(3, 0)]
+    assert r3["parse_ok"] is False and r3["width"] is None
+    assert len(rows) == 5
+
+
+# ---------------------------------------------------------------------------
+# REAL MP3 frame-header walk (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_walk_handcrafted_single_frame():
+    # one 128 kbps 44.1 kHz frame, padding bit SET: 144000*128//44100+1 = 418
+    hdr = bytes((0xFF, 0xFB, (9 << 4) | (0 << 2) | 2, 0x00))
+    frame = hdr + b"\x00" * (418 - 4)
+    assert mm.parse_mp3_meta_bytes(frame) == (1, 44100, 128, 1152 * 1000 // 44100, True)
+
+
+def test_mp3_walk_vbr_id3_tags_and_failures():
+    b = mm.make_mp3_bytes(9, 5)
+    sb = sum(mm.MP3_BITRATES[(5 + i) % 14] for i in range(9))
+    assert mm.parse_mp3_meta_bytes(b) == (9, 44100, sb, 9 * 1152 * 1000 // 44100, True)
+    # ID3v1 trailer is skipped
+    assert mm.parse_mp3_meta_bytes(b + b"TAG" + b"\x00" * 125)[0] == 9
+    # strict walk failures: truncated frame, trailing junk, mixed samplerate,
+    # free-format bitrate, MPEG-2 version bits, non-syncsafe ID3 size
+    assert mm.parse_mp3_meta_bytes(b[:-5])[-1] is False
+    assert mm.parse_mp3_meta_bytes(b + b"xx")[-1] is False
+    mix = mm.make_mp3_bytes(1, 0, sr_idx=0, with_id3=False) + mm.make_mp3_bytes(
+        1, 0, sr_idx=1, with_id3=False
+    )
+    assert mm.parse_mp3_meta_bytes(mix)[-1] is False
+    free = bytes((0xFF, 0xFB, 0x00, 0x00)) + b"\x00" * 100
+    assert mm.parse_mp3_meta_bytes(free)[-1] is False
+    v2 = bytearray(mm.make_mp3_bytes(1, 0, with_id3=False))
+    v2[1] = 0xF3  # MPEG-2 version bits
+    assert mm.parse_mp3_meta_bytes(bytes(v2))[-1] is False
+    badid3 = b"ID3\x04\x00\x00" + bytes((0, 0, 0x80, 0)) + b"\x00" * 20
+    assert mm.parse_mp3_meta_bytes(badid3)[-1] is False
+
+
+def test_mp3_meta_spark_path_quarantines_mixed_batch(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [mm.make_mp3_bytes(3, 0), b"not audio"]}
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mm.parse_mp3_meta(spark.createDataFrame(pdf), "payload").collect()
+    }
+    assert out[1]["mp3_n_frames"] == 3 and out[1]["mp3_parse_ok"] is True
+    assert out[2]["mp3_parse_ok"] is False and out[2]["mp3_n_frames"] is None

@@ -20,13 +20,15 @@ REQUIRED_FLAGSHIPS = [
     "webtext_pii_redact",
     "curation_pipeline_counts",
     "adaptive_length_filter",
-    "multimodal_decode_meta",
+    # multimodal_decode_meta rotated out (green r3 driver row) for the
+    # new real GIF decoder
     # round-4 rotation (VERDICT r3 item 7): the real decoders and the new
     # self-observability query must hold their driver rows
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
+    "multimodal_gif_decode",
     "config_internal_log_counts",
     "dedup_fuzzy_pipeline_counts",
 ]
