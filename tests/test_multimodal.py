@@ -429,3 +429,58 @@ def test_mp3_meta_spark_path_quarantines_mixed_batch(spark):
     }
     assert out[1]["mp3_n_frames"] == 3 and out[1]["mp3_parse_ok"] is True
     assert out[2]["mp3_parse_ok"] is False and out[2]["mp3_n_frames"] is None
+
+
+# ---------------------------------------------------------------------------
+# REAL progressive-JPEG decode (r4): multi-scan accumulation,
+# successive-approximation refinement, EOB-runs
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_dc_only_closed_form():
+    w, h, base, step = 24, 16, 40, 33
+    got = mm.decode_jpeg_bytes(mm.make_jpeg_progressive_bytes(w, h, base, step))
+    exp = sum(64 * ((base + i * step) % 256) for i in range(6))
+    assert got == (w, h, "jpeg-progressive", exp, exp, exp, True)
+
+
+def test_progressive_refinement_ladder_equals_direct_coding():
+    # the Al=1 ladder (DC first + AC first + DC refine + AC refine) must
+    # reconstruct EXACTLY what single full-precision scans produce,
+    # across even/odd/newval(+/-1)/negative AC amplitudes
+    for acv in (0, 1, -1, 6, 24, 25, -7):
+        ladder = mm.decode_jpeg_bytes(mm.make_jpeg_progressive_bytes(32, 24, 17, 29, acval=acv, al=1))
+        direct = mm.decode_jpeg_bytes(mm.make_jpeg_progressive_bytes(32, 24, 17, 29, acval=acv, al=0))
+        assert ladder == direct and ladder[-1] is True, (acv, ladder, direct)
+
+
+def test_progressive_matches_baseline_same_coefficients():
+    # same analytic coefficients through the two entropy pipelines
+    prog = mm.decode_jpeg_bytes(mm.make_jpeg_progressive_bytes(24, 16, 40, 33, acval=24))
+    base = mm.decode_jpeg_bytes(mm.make_jpeg_bytes(24, 16, 40, 33, ac44=3))
+    assert prog[3:] == base[3:] and prog[:2] == base[:2]
+
+
+def test_progressive_gray_and_odd_acval_correction_bits():
+    gexp = sum(64 * ((77 + i * 13) % 256) for i in range(2))
+    assert mm.decode_jpeg_bytes(mm.make_jpeg_progressive_bytes(16, 8, 77, 13, gray=True)) == (
+        16, 8, "jpeg-progressive-gray", gexp, gexp, gexp, True
+    )
+    # odd amplitude: the refinement scan's correction bit carries the LSB
+    exp = sum(64 * ((90 + i * 11) % 256) for i in range(2))
+    got = mm.decode_jpeg_bytes(mm.make_jpeg_progressive_bytes(16, 8, 90, 11, acval=25))
+    assert got[3:] == (exp, exp, exp, True)
+
+
+def test_progressive_fail_closed():
+    good = mm.make_jpeg_progressive_bytes(16, 8, 50, 3, acval=24)
+    assert mm.decode_jpeg_bytes(good[: len(good) // 2])[-1] is False  # truncated mid-scan
+    assert mm.decode_jpeg_bytes(good[:-2])[-1] is False  # missing EOI
+    # corrupt the successive-approximation descent (refinement must step
+    # exactly one bit plane: Al == Ah - 1)
+    bad = bytearray(good)
+    # find the DC refinement SOS (Ss=0 Se=0 Ah<<4|Al == 0x10) and break it
+    idx = bad.find(bytes((0x00, 0x00, 0x10)))
+    assert idx > 0
+    bad[idx + 2] = 0x31  # Ah=3, Al=1: skips a bit plane
+    assert mm.decode_jpeg_bytes(bytes(bad))[-1] is False

@@ -29,6 +29,10 @@ REQUIRED_FLAGSHIPS = [
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
     "multimodal_gif_decode",
+    # late-round real operators take the stub-plumbing trio's slots
+    "multimodal_jpeg_progressive",
+    "multimodal_video_frames",
+    "multimodal_mp3_meta",
     "config_internal_log_counts",
     "dedup_fuzzy_pipeline_counts",
 ]
