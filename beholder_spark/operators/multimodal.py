@@ -178,6 +178,16 @@ def sample_frames(df: DataFrame, bin_col: str, id_col: str, every_n_bytes: int =
 #   Any violation → parse_ok False, other fields NULL (P7 contract).
 # ---------------------------------------------------------------------------
 
+# Resource-bomb guard (SPEC): decoder headers are UNTRUSTED. Any decode
+# whose claimed raster exceeds this pixel count fails closed BEFORE any
+# allocation proportional to the claim (a ~90-byte payload can otherwise
+# declare a 65535x65535 frame and kill the executor with an allocation,
+# or a GIF/PNG compression bomb can inflate a few MB thousands-fold).
+# 64 MP is far beyond real crawled images; production knob, raise as
+# needed (worst-case transient at the cap is ~1.5 GB in the progressive
+# JPEG finish pass).
+MAX_DECODE_PIXELS = 64_000_000
+
 IMAGE_DECODED_SCHEMA = T.StructType(
     [
         T.StructField("width", T.LongType(), True),
@@ -492,7 +502,16 @@ def decode_png_bytes(payload: bytes | None) -> tuple:
         ch = _PNG_CHANNELS.get(color)
         if depth != 8 or ch is None or comp != 0 or filt != 0 or interlace != 0 or w == 0 or h == 0:
             return _FAIL
-        raster = _png_defilter(zlib.decompress(bytes(idat)), w, h, ch)
+        if w * h > MAX_DECODE_PIXELS:
+            return _FAIL
+        # bounded inflate: a zlib bomb must not expand past the raster the
+        # header promises (exact length is re-checked by the defilter)
+        dec = zlib.decompressobj()
+        expected = h * (1 + w * ch)
+        inflated = dec.decompress(bytes(idat), expected)
+        if len(inflated) != expected or dec.unconsumed_tail or dec.decompress(b"", 1):
+            return _FAIL
+        raster = _png_defilter(inflated, w, h, ch)
     except (struct.error, zlib.error, ValueError):
         return _FAIL
     px = raster.reshape(h, w, ch).astype(np.int64)
@@ -657,6 +676,39 @@ def _jpeg_unstuff(buf: bytes, pos: int) -> tuple[list[bytes], int]:
     raise ValueError("entropy stream missing terminating marker")
 
 
+def _jpeg_parse_dqt(body: bytes, qt: dict) -> None:
+    """Parse a DQT segment into `qt` (shared by the baseline and
+    progressive marker walks — keep them on ONE parser)."""
+    import numpy as np
+
+    bp = 0
+    while bp < len(body):
+        pq, tq = body[bp] >> 4, body[bp] & 0xF
+        if pq != 0:
+            raise ValueError("16-bit quant tables unsupported")
+        if bp + 65 > len(body):
+            raise ValueError("truncated DQT")
+        tbl = np.zeros(64, dtype=np.int64)
+        for i in range(64):
+            tbl[_JPEG_ZIGZAG[i]] = body[bp + 1 + i]
+        qt[tq] = tbl.reshape(8, 8)
+        bp += 65
+
+
+def _jpeg_parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """Parse a DHT segment into the DC/AC table dicts (shared walker)."""
+    bp = 0
+    while bp < len(body):
+        tc, th = body[bp] >> 4, body[bp] & 0xF
+        bits = list(body[bp + 1 : bp + 17])
+        nv = sum(bits)
+        vals = body[bp + 17 : bp + 17 + nv]
+        if len(bits) != 16 or len(vals) != nv:
+            raise ValueError("truncated DHT")
+        (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_build_huffman(bits, vals)
+        bp += 17 + nv
+
+
 def decode_jpeg_bytes(payload: bytes | None) -> tuple:
     """REAL baseline-JPEG decode (see SPEC block above). Output matches
     the BMP/PPM/PNG shape: (w, h, fmt, sum_r, sum_g, sum_b, parse_ok);
@@ -688,20 +740,13 @@ def decode_jpeg_bytes(payload: bytes | None) -> tuple:
             if len(body) != seglen - 2:
                 raise ValueError("truncated segment")
             if marker == 0xDB:  # DQT
-                bp = 0
-                while bp < len(body):
-                    pq, tq = body[bp] >> 4, body[bp] & 0xF
-                    if pq != 0:
-                        raise ValueError("16-bit quant tables unsupported")
-                    tbl = np.zeros(64, dtype=np.int64)
-                    for i in range(64):
-                        tbl[_JPEG_ZIGZAG[i]] = body[bp + 1 + i]
-                    qt[tq] = tbl.reshape(8, 8)
-                    bp += 65
+                _jpeg_parse_dqt(body, qt)
             elif marker == 0xC0:  # SOF0 baseline
                 prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
                 if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                     raise ValueError("unsupported frame")
+                if w * h > MAX_DECODE_PIXELS:
+                    raise ValueError("claimed raster exceeds decode cap")
                 comps = []
                 for i in range(nc):
                     cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
@@ -715,16 +760,7 @@ def decode_jpeg_bytes(payload: bytes | None) -> tuple:
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError("unsupported frame type")  # fail-closed
             elif marker == 0xC4:  # DHT
-                bp = 0
-                while bp < len(body):
-                    tc, th = body[bp] >> 4, body[bp] & 0xF
-                    bits = list(body[bp + 1 : bp + 17])
-                    nv = sum(bits)
-                    vals = body[bp + 17 : bp + 17 + nv]
-                    if len(vals) != nv:
-                        raise ValueError("truncated DHT")
-                    (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_build_huffman(bits, vals)
-                    bp += 17 + nv
+                _jpeg_parse_dht(body, huff_dc, huff_ac)
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", body, 0)
             elif marker == 0xDA:  # SOS
@@ -1134,7 +1170,7 @@ def decode_gif_bytes(payload: bytes | None) -> tuple:
         return _FAIL
     _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
     pos += 9
-    if w == 0 or h == 0:
+    if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
         return _FAIL
     ct = gct
     if ipacked & 0x80:  # local color table overrides
@@ -1280,9 +1316,11 @@ def with_gif_payload(df: DataFrame, w_col: str, h_col: str, g_col: str, out: str
 #     frame count is what the movi list actually carries.
 #   - Sampling: every_n-th frame (frame_no % every_n == 0) is DECODED
 #     through decode_image_bytes; a sampled frame that fails its decode
-#     emits its row with parse_ok False. A malformed CONTAINER emits
-#     ONE row (frame_no NULL, parse_ok False) so quarantine is countable
-#     (P7 contract). Skipped frames cost zero decode work.
+#     emits its row with parse_ok False. A malformed container, OR a
+#     container carrying zero video frames (audio-only / movi missing /
+#     truncated before movi), emits ONE row (frame_no NULL, parse_ok
+#     False) so quarantine is countable (P7 contract). Skipped frames
+#     cost zero decode work.
 # ---------------------------------------------------------------------------
 
 VIDEO_FRAME_SCHEMA = T.StructType(
@@ -1354,7 +1392,7 @@ def sample_video_frames(
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
                 rid = int(rid)
                 frames = _avi_video_chunks(payload)
-                if frames is None:
+                if not frames:  # malformed container OR zero video frames
                     rows.append((rid, None, None, None, None, None, None, False))
                     continue
                 for i in range(0, len(frames), every_n):
@@ -1700,6 +1738,7 @@ def _decode_jpeg_progressive(buf: bytes) -> tuple:
     restart_interval = 0
     coef: list = []
     saw_eoi = False
+    n_scans = 0
     while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -1715,22 +1754,15 @@ def _decode_jpeg_progressive(buf: bytes) -> tuple:
         if len(body) != seglen - 2:
             raise ValueError("truncated segment")
         if marker == 0xDB:  # DQT
-            bp = 0
-            while bp < len(body):
-                pq, tq = body[bp] >> 4, body[bp] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                tbl = np.zeros(64, dtype=np.int64)
-                for i in range(64):
-                    tbl[_JPEG_ZIGZAG[i]] = body[bp + 1 + i]
-                qt[tq] = tbl.reshape(8, 8)
-                bp += 65
+            _jpeg_parse_dqt(body, qt)
         elif marker == 0xC2:  # SOF2
             if frame is not None:
                 raise ValueError("multiple frames")
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                 raise ValueError("unsupported frame")
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError("claimed raster exceeds decode cap")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
@@ -1748,16 +1780,7 @@ def _decode_jpeg_progressive(buf: bytes) -> tuple:
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported frame type")
         elif marker == 0xC4:  # DHT
-            bp = 0
-            while bp < len(body):
-                tc, th = body[bp] >> 4, body[bp] & 0xF
-                bits = list(body[bp + 1 : bp + 17])
-                nv = sum(bits)
-                vals = body[bp + 17 : bp + 17 + nv]
-                if len(vals) != nv:
-                    raise ValueError("truncated DHT")
-                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_build_huffman(bits, vals)
-                bp += 17 + nv
+            _jpeg_parse_dht(body, huff_dc, huff_ac)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: one scan of entropy data follows
@@ -1773,10 +1796,11 @@ def _decode_jpeg_progressive(buf: bytes) -> tuple:
                 frame, coef, huff_dc, huff_ac, restart_interval,
                 segments, scomps, ss, se, ahal >> 4, ahal & 0xF,
             )
+            n_scans += 1
             continue
         pos += seglen
-    if frame is None or not saw_eoi:
-        raise ValueError("missing SOF2 or EOI")
+    if frame is None or not saw_eoi or n_scans == 0:
+        raise ValueError("missing SOF2, scans, or EOI")
     w, h, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -1884,8 +1908,11 @@ def make_jpeg_progressive_bytes(
     bw.flush()
     out += sos(comp_ids, 0, 0, 0, al) + bw.out
 
-    # AC first pass per component, Al=al
-    v1 = acval >> al if acval else 0
+    # AC first pass per component, Al=al. Successive approximation
+    # shifts the MAGNITUDE (T.81 G.1.2.2 point transform), not the
+    # two's-complement value: floor-shifting a negative coefficient
+    # would make the ladder reconstruct acval-2 instead of acval.
+    v1 = (abs(acval) >> al) * (1 if acval >= 0 else -1) if acval else 0
     for cn, cid in enumerate(comp_ids):
         bw = _JpegBitWriter()
         pending: list = []
@@ -1929,7 +1956,7 @@ def make_jpeg_progressive_bytes(
                     bw.write(1 if acval > 0 else 0, 1)
                     pending.append([])
                 elif cn == 0 and v1:
-                    pending.append([acval & 1])  # correction bit for (4,4)
+                    pending.append([abs(acval) & 1])  # correction bit for (4,4)
                 else:
                     pending.append([])
             _jfix_flush_eobrun(bw, pending)

@@ -484,3 +484,97 @@ def test_progressive_fail_closed():
     assert idx > 0
     bad[idx + 2] = 0x31  # Ah=3, Al=1: skips a bit plane
     assert mm.decode_jpeg_bytes(bytes(bad))[-1] is False
+
+
+# ---------------------------------------------------------------------------
+# Adversarial-payload regressions (r4 review): resource bombs fail closed
+# BEFORE allocation, structural lies quarantine, encoder conformance
+# ---------------------------------------------------------------------------
+
+
+def test_huge_claimed_rasters_fail_closed_without_allocating():
+    # ~90-byte payloads claiming 65535x65535 frames must quarantine, not
+    # allocate. (Before the MAX_DECODE_PIXELS guard these raised
+    # MemoryError inside the executor UDF and failed the whole task.)
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    for sof_marker in (0xC0, 0xC2):  # baseline and progressive
+        bomb = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + seg(sof_marker, struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes((1, 0x11, 0)))
+            + b"\xff\xd9"
+        )
+        assert mm.decode_jpeg_bytes(bomb)[-1] is False
+    # GIF claiming a 65535x65535 frame over a 2-entry palette
+    gif_bomb = (
+        b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x80, 0, 0)
+        + bytes((10, 20, 30, 1, 2, 3))
+        + bytes((0x2C,)) + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+        + bytes((2, 1, 0x2C, 0x00, 0x3B))
+    )
+    assert mm.decode_gif_bytes(gif_bomb)[-1] is False
+
+
+def test_png_inflate_is_bounded_by_claimed_raster():
+    import zlib
+
+    # valid 2x2 gray IHDR but IDAT inflates to 1 MB: the bounded inflate
+    # must stop at the claimed raster size and fail closed
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb_idat = zlib.compress(b"\x00" * (1 << 20))
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb_idat) + chunk(b"IEND", b"")
+    )
+    assert mm.decode_png_bytes(png)[-1] is False
+    # and the honest payload still decodes
+    assert mm.decode_png_bytes(mm.make_png_bytes(4, 3, 9))[-1] is True
+
+
+def test_progressive_scanless_file_fails_closed():
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    scanless = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0)))
+        + b"\xff\xd9"
+    )
+    assert mm.decode_jpeg_bytes(scanless)[-1] is False
+
+
+def test_avi_zero_video_frames_is_countable_quarantine(spark):
+    import pandas as pd
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    empty_movi = b"RIFF" + struct.pack("<I", 4 + 12) + b"AVI " + chunk(b"LIST", b"movi")
+    audio_only = b"RIFF" + struct.pack("<I", 4 + 26) + b"AVI " + chunk(
+        b"LIST", b"movi" + chunk(b"01wb", b"\x00" * 6)
+    )
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [empty_movi, audio_only]})
+    rows = mm.sample_video_frames(spark.createDataFrame(pdf), "payload", "doc_id").collect()
+    assert len(rows) == 2  # ids never vanish silently
+    assert all(r["parse_ok"] is False and r["frame_no"] is None for r in rows)
+
+
+def test_progressive_ladder_conformant_for_negative_acval_under_clipping():
+    # clipping breaks the +/- checkerboard symmetry, so a magnitude error
+    # in the successive-approximation split (floor-shift vs point
+    # transform) becomes visible in the channel sums
+    for acv in (-25, -24, -7, 25):
+        ladder = mm.decode_jpeg_bytes(
+            mm.make_jpeg_progressive_bytes(16, 8, 254, 0, acval=acv, al=1)
+        )
+        direct = mm.decode_jpeg_bytes(
+            mm.make_jpeg_progressive_bytes(16, 8, 254, 0, acval=acv, al=0)
+        )
+        assert ladder == direct and ladder[-1] is True, (acv, ladder, direct)
