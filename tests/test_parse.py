@@ -115,3 +115,90 @@ def test_fieldpack_corrupt_quarantine(spark):
     assert rows[1] == ({"k": "v"}, True, good)
     assert rows[2] == (None, False, b"junk")  # frame kept: never silent loss
     assert parse.parse_fieldpack(df, col="fp").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# WARC ingest (r4): record grammar, gzip-member chaining, HTTP split,
+# salvage + countable quarantine
+# ---------------------------------------------------------------------------
+
+
+def test_warc_handcrafted_record_and_http_split():
+    import hashlib
+
+    from beholder_spark.operators import parse as P
+
+    rec = P._warc_record(
+        b"response", b"https://x.test/a", b"2025-06-01T00:00:00Z",
+        b"application/http;msgtype=response",
+        b"HTTP/1.1 404 Not Found\r\nServer: t\r\n\r\nmissing!",
+    )
+    rows = P._warc_segment_rows(11, rec)
+    assert rows == [
+        (11, 0, "response", "https://x.test/a", "2025-06-01T00:00:00Z",
+         404, 8, hashlib.md5(b"missing!").hexdigest(), True)
+    ]
+    # non-http record: whole payload is the body, status NULL
+    rec2 = P._warc_record(b"resource", b"u:1", b"d", b"text/plain", b"abc")
+    r = P._warc_segment_rows(12, rec2)[0]
+    assert (r[5], r[6], r[8]) == (None, 3, True)
+
+
+def test_warc_violations_salvage_and_quarantine():
+    from beholder_spark.operators import parse as P
+
+    good = P._warc_record(b"resource", b"u:1", b"d", b"text/plain", b"abc")
+    # salvage: one good record, then a tail violating each grammar rule
+    for tail in (
+        b"WARC/2.0\r\n\r\n\r\n\r\n",                      # bad version
+        b"WARC/1.0\r\nNoColonHere\r\n\r\n\r\n\r\n",       # malformed header
+        b"WARC/1.0\r\nContent-Length: zz\r\n\r\nx\r\n\r\n",  # bad length
+        b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort",   # overrun
+        good[:-2],                                        # missing separator
+    ):
+        rows = P._warc_segment_rows(5, good + tail)
+        assert len(rows) == 2 and rows[0][8] is True
+        assert rows[1][1] is None and rows[1][8] is False, tail
+    # gzip bomb: members inflating past the budget quarantine
+    import zlib
+
+    def member(raw):
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return c.compress(raw) + c.flush()
+
+    old = P.MAX_WARC_SEGMENT_BYTES
+    P.MAX_WARC_SEGMENT_BYTES = 1000
+    try:
+        bomb = member(b"\x00" * 100_000)
+        assert P._warc_segment_rows(6, bomb) == [
+            (6, None, None, None, None, None, None, None, False)
+        ]
+    finally:
+        P.MAX_WARC_SEGMENT_BYTES = old
+    # empty / None payloads
+    assert P._warc_segment_rows(7, b"")[0][8] is False
+    assert P._warc_segment_rows(8, None)[0][8] is False
+
+
+def test_warc_spark_path_multiplicity_and_ids_never_vanish(spark):
+    import pandas as pd
+
+    from beholder_spark.operators import parse as P
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [2, 3, 4],
+            "payload": [
+                P.make_warc_bytes(2, "two", "en"),   # 2 records (even id)
+                P.make_warc_bytes(3, "three", "de"),  # 1 record
+                b"\x1f\x8bgarbage",                   # broken gzip
+            ],
+        }
+    )
+    out = P.parse_warc(spark.createDataFrame(pdf), "payload", "doc_id").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[2]) == 2 and all(r["parse_ok"] for r in by_id[2])
+    assert len(by_id[3]) == 1 and by_id[3][0]["warc_type"] == "response"
+    assert len(by_id[4]) == 1 and by_id[4][0]["parse_ok"] is False
