@@ -825,31 +825,32 @@ def run_config_stream(
         source_stream = stream_df
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # K sink writes recompute only their transform suffixes from
-        # cached rows — one source computation, same economics as the
-        # batch runner
-        batch_df.persist()
-        try:
-            batch_final = compiled(batch_df)  # recaptures sinks in batch mode
-            src = F.input_file_name()
-            key = F.when(src == "", F.lit(f"b{batch_id}")).otherwise(
-                F.concat(F.lit("f"), F.md5(src))
+        # Deliberately NO persist of the batch slice: caching it severs
+        # input_file_name() provenance (an InMemoryTableScan scans no
+        # file), which would degrade every manifest key below to
+        # b<batch_id> — and after a streaming-checkpoint loss on a grown
+        # spool the replayed batch 0 would anti-join ALL its rows away
+        # against the already-manifested 'b0', silently dropping the new
+        # files' rows. K sinks therefore recompute their transform
+        # suffixes from the (small) spool micro-batch: correctness over
+        # cached-once economics.
+        from beholder_spark.streaming import batch_key_col
+
+        batch_final = compiled(batch_df)  # recaptures sinks in batch mode
+        key = batch_key_col(batch_id)
+        frames = [(f"sink_{i}", s) for i, s in enumerate(compiled.sinks)]
+        frames.append((stage, {"df": batch_final, "partition_fields": []}))
+        for st, spec in frames:
+            frame = spec["df"]
+            extra = [f for f in spec.get("partition_fields", []) if f in frame.columns]
+            ln.run_stage(
+                frame.sparkSession,
+                out_root,
+                st,
+                frame.withColumn("_batch", key),
+                partition_col="_batch",
+                partition_by=extra,
             )
-            frames = [(f"sink_{i}", s) for i, s in enumerate(compiled.sinks)]
-            frames.append((stage, {"df": batch_final, "partition_fields": []}))
-            for st, spec in frames:
-                frame = spec["df"]
-                extra = [f for f in spec.get("partition_fields", []) if f in frame.columns]
-                ln.run_stage(
-                    frame.sparkSession,
-                    out_root,
-                    st,
-                    frame.withColumn("_batch", key),
-                    partition_col="_batch",
-                    partition_by=extra,
-                )
-        finally:
-            batch_df.unpersist()
 
     w = source_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_path

@@ -34,19 +34,23 @@ BROADCAST_ROW_LIMIT = int(os.environ.get("BEHOLDER_BROADCAST_ROW_LIMIT", "100000
 def bounded_small_side(small: DataFrame, row_limit: int | None = None) -> DataFrame:
     """Count-gated broadcast guard for derived "small" join sides.
 
-    The frame is materialized ONCE (eager localCheckpoint — truncates the
-    upstream span/shingle aggregation so the count doesn't recompute it),
-    counted, and returned either broadcast-hinted (count ≤ limit) or
-    shuffle-hash-hinted (count > limit). The hint makes the fallback
-    shape deterministic — without it, static size stats on a checkpointed
-    frame could still pick a too-large broadcast. AQE remains the runtime
-    backstop either way. Checkpoint storage is released by the
-    ContextCleaner once the query's frame is unreferenced.
+    The frame is persisted (MEMORY_AND_DISK — lineage retained, so an
+    executor loss RECOMPUTES rather than failing the query, which
+    localCheckpoint's non-reliable blocks cannot), counted once, and
+    returned either broadcast-hinted (count ≤ limit) or
+    shuffle-hash-hinted (count > limit, unpersisted: a too-big side must
+    not pin executor storage — the shuffled join recomputes it in one
+    pass). The hint makes the fallback shape deterministic; AQE remains
+    the runtime backstop. NOTE: the count gate executes a job at
+    operator-construction time by design — the guard is the point.
     """
+    from pyspark import StorageLevel
+
     limit = BROADCAST_ROW_LIMIT if row_limit is None else row_limit
-    small = small.localCheckpoint(eager=True)
+    small = small.persist(StorageLevel.MEMORY_AND_DISK)
     if small.count() <= limit:
         return F.broadcast(small)
+    small.unpersist()
     return small.hint("shuffle_hash")
 
 # Query parameters that identify a click, not a resource. Shared with the

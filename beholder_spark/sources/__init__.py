@@ -140,6 +140,8 @@ class _SpoolBridgeBase:
         self.errors = 0
         self.last_error: str | None = None
         self.failed = False
+        self._flush_fails = 0
+        self.dropped_overload = 0
         self._buf: list[str] = []
         self._lock = threading.Lock()
         self._seq = 0
@@ -154,8 +156,24 @@ class _SpoolBridgeBase:
         self.errors += 1
         self.last_error = repr(exc)
 
+    # consecutive spool-write failures before the bridge declares itself
+    # failed (daemon exits non-zero instead of buffering toward OOM)
+    FLUSH_FAIL_LIMIT = 20
+    # hard bound on buffered-but-unflushed messages: past this the bridge
+    # FAILS (counted, surfaced) rather than growing without bound while a
+    # full/unwritable spool disk keeps every flush erroring
+    MAX_BUFFERED_LINES = 1_000_000
+
     def _append(self, line: str) -> None:
         with self._lock:
+            if len(self._buf) >= self.MAX_BUFFERED_LINES:
+                self.dropped_overload += 1
+                if not self.failed:
+                    self._record_error(
+                        RuntimeError("spool buffer overflow; ingest halted")
+                    )
+                    self.failed = True
+                return
             self._buf.append(line)
             self.received += 1
 
@@ -187,8 +205,14 @@ class _SpoolBridgeBase:
     def _flush_guarded(self) -> None:
         try:
             self.flush()
+            self._flush_fails = 0
         except Exception as exc:  # noqa: BLE001 — lines restored to _buf
             self._record_error(exc)
+            self._flush_fails += 1
+            if self._flush_fails >= self.FLUSH_FAIL_LIMIT:
+                # a persistently unwritable spool is silent data loss in
+                # the making (buffer grows, nothing lands) — surface it
+                self.failed = True
 
     def raise_if_failed(self) -> None:
         """Surface a dead/failing listener to the owner (daemon loop):
@@ -452,16 +476,28 @@ class TcpSyslogFrameBridge(_SpoolBridgeBase):
             import time as _time
 
             last = _time.monotonic()
+            consecutive = 0
             while not self._stop.is_set():
                 try:
                     conn, _ = sock.accept()
                     t = threading.Thread(target=self._handle_conn, args=(conn,), daemon=True)
                     t.start()
+                    # prune finished handlers so a weeks-long daemon with
+                    # reconnecting relays doesn't accumulate dead Threads
+                    self._conn_threads = [x for x in self._conn_threads if x.is_alive()]
                     self._conn_threads.append(t)
+                    consecutive = 0
                 except TimeoutError:
-                    pass
+                    consecutive = 0
                 except Exception as exc:  # noqa: BLE001 — see UdpSpoolBridge
+                    # sustained accept() failure (fd exhaustion, dead
+                    # listener socket) must mark the bridge FAILED so the
+                    # daemon exits non-zero instead of idling healthy
                     self._record_error(exc)
+                    consecutive += 1
+                    if consecutive >= 50:
+                        self.failed = True
+                        break
                     _time.sleep(0.05)
                 now = _time.monotonic()
                 if self._buf and (

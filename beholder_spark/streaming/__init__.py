@@ -117,6 +117,21 @@ def session_windows(
     )
 
 
+def batch_key_col(batch_id: int):
+    """File-keyed manifest partition key: ``f<md5(source file)>`` per
+    input file, falling back to ``b<batch id>`` when provenance is
+    unavailable (non-file sources). ONE definition shared by every
+    foreachBatch writer. Callers MUST evaluate this against the original
+    file scan: caching/persisting the batch slice first makes
+    input_file_name() return '' (InMemoryTableScan has no file), which
+    silently degrades every key to b<batch_id> and re-breaks the
+    checkpoint-loss replay guarantee the file keying exists for."""
+    src = F.input_file_name()
+    return F.when(src == "", F.lit(f"b{batch_id}")).otherwise(
+        F.concat(F.lit("f"), F.md5(src))
+    )
+
+
 def write_manifested_stream(
     stream: DataFrame,
     out_root: str,
@@ -175,13 +190,7 @@ def write_manifested_stream(
                 # partition top-N then merge, never a full global sort
                 batch_df = batch_df.orderBy(order_col).limit(buffer_rows)
                 dropped = n_in - buffer_rows
-        src = F.input_file_name()
-        b = batch_df.withColumn(
-            "_batch",
-            F.when(src == "", F.lit(f"b{batch_id}")).otherwise(
-                F.concat(F.lit("f"), F.md5(src))
-            ),
-        )
+        b = batch_df.withColumn("_batch", batch_key_col(batch_id))
         ln.run_stage(
             b.sparkSession, out_root, stage, b, partition_col="_batch",
             extra_lineage={"dropped_overflow": dropped},

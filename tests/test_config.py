@@ -969,3 +969,47 @@ def test_config_stream_tee_fanout_two_sinks_with_reload(spark, tmp_path):
         assert vers == {"v1": 30, "v2": 20}
     finally:
         sup.stop()
+
+
+def test_config_fanout_survives_checkpoint_loss_with_grown_source(spark, tmp_path):
+    """Regression (r4 review): the multi-sink fan-out used to persist()
+    the batch slice BEFORE computing the file-keyed manifest key, which
+    severed input_file_name provenance and degraded every key to
+    b<batch_id> — after checkpoint loss on a grown spool, the replayed
+    batch 0 anti-joined ALL its rows away and the new files' rows were
+    silently dropped in every sink. Both sinks must instead append
+    exactly the new file's rows."""
+    import shutil
+
+    from beholder_spark.plans import lineage as ln
+
+    cfg = (
+        "parse syslog keep-unparsed;\n"
+        "tee { keep $severity $program; to file 'side/{$program}'; }\n"
+        "keep $severity $program $parse_ok;\n"
+    )
+    src_dir = str(tmp_path / "src")
+
+    def wave(lo, hi):
+        rows = [
+            (f"<{(i * 3) % 32}>1 2026-05-01T00:00:00Z h prog{i % 2} - - - t{i}",)
+            for i in range(lo, hi)
+        ]
+        spark.createDataFrame(rows, ["payload"]).coalesce(1).write.mode("append").parquet(src_dir)
+
+    wave(0, 30)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("payload string").parquet(src_dir)
+    C.run_config_stream(spark, stream, cfg, out, ckpt).awaitTermination(120)
+    assert ln.read_stage(spark, out, "config_sink", "_batch").count() == 30
+    assert ln.read_stage(spark, out, "sink_0", "_batch").count() == 30
+
+    # checkpoint lost AND the spool grew: replayed batch 0 = old+new files
+    shutil.rmtree(ckpt)
+    wave(30, 50)
+    stream2 = spark.readStream.schema("payload string").parquet(src_dir)
+    C.run_config_stream(spark, stream2, cfg, out, ckpt).awaitTermination(120)
+    for stage in ("config_sink", "sink_0"):
+        got = ln.read_stage(spark, out, stage, "_batch")
+        assert got.count() == 50, stage  # new rows appended, none duplicated

@@ -492,3 +492,91 @@ def test_octet_frame_parser_incremental_spec():
     assert "SP" in p(b"5#oops")[2]
     assert "7 digits" in p(b"99999999 x")[2]
     assert "cap" in p(b"9999999 x")[2]
+
+
+# ---------------------------------------------------------------------------
+# Bridge health escalation (r4 review): sustained failures must mark the
+# bridge FAILED so the daemon exits non-zero instead of idling healthy
+# ---------------------------------------------------------------------------
+
+
+def test_bridge_persistent_flush_failure_escalates(tmp_path):
+    import pytest
+
+    bridge = sources.UdpSpoolBridge(str(tmp_path / "sp"), flush_secs=30)
+    bridge._append("hello")
+    # make the spool unwritable: point it at a FILE, not a directory
+    bad = tmp_path / "not_a_dir"
+    bad.write_text("x")
+    bridge.spool_dir = str(bad)
+    for _ in range(bridge.FLUSH_FAIL_LIMIT):
+        bridge._flush_guarded()
+    assert bridge.failed is True and bridge.errors >= bridge.FLUSH_FAIL_LIMIT
+    with pytest.raises(RuntimeError, match="failed"):
+        bridge.raise_if_failed()
+    # the buffered line was never lost on the way (restored each time)
+    assert bridge._buf == ["hello"]
+    # a successful flush resets the escalation counter
+    bridge2 = sources.UdpSpoolBridge(str(tmp_path / "sp2"), flush_secs=30)
+    bridge2._append("ok")
+    bridge2._flush_fails = bridge2.FLUSH_FAIL_LIMIT - 1
+    bridge2._flush_guarded()
+    assert bridge2._flush_fails == 0 and bridge2.failed is False
+
+
+def test_bridge_buffer_overflow_is_counted_and_fails(tmp_path):
+    bridge = sources.UdpSpoolBridge(str(tmp_path / "sp"), flush_secs=30)
+    bridge.MAX_BUFFERED_LINES = 5
+    for i in range(9):
+        bridge._append(f"m{i}")
+    assert len(bridge._buf) == 5  # bounded, no OOM trajectory
+    assert bridge.dropped_overload == 4  # loss is COUNTED
+    assert bridge.failed is True  # and surfaced, never silent
+
+
+def test_tcp_bridge_dead_listener_socket_escalates(tmp_path):
+    import time
+
+    import pytest
+
+    bridge = sources.TcpSyslogFrameBridge(str(tmp_path / "sp"), flush_secs=30)
+    bridge.start()
+    try:
+        # kill the listener socket underneath the accept loop: every
+        # accept() now raises OSError; the loop must escalate to failed
+        # within its 50-consecutive budget instead of spinning forever
+        bridge._sock.close()
+        deadline = time.monotonic() + 15
+        while not bridge.failed and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert bridge.failed is True
+        with pytest.raises(RuntimeError, match="failed"):
+            bridge.raise_if_failed()
+    finally:
+        bridge.stop()
+
+
+def test_tcp_bridge_prunes_finished_connection_threads(tmp_path):
+    import socket as so
+    import time
+
+    bridge = sources.TcpSyslogFrameBridge(str(tmp_path / "sp"), flush_secs=0.1)
+    port = bridge.start()
+    try:
+        for i in range(8):  # sequential reconnects (rsyslog-style churn)
+            with so.create_connection(("127.0.0.1", port), timeout=5) as c:
+                msg = f"<13>1 - h p - - - reconnect {i}".encode()
+                c.sendall(f"{len(msg)} ".encode() + msg)
+            time.sleep(0.05)
+        deadline = time.monotonic() + 15
+        while bridge.received < 8 and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert bridge.received == 8
+        time.sleep(0.3)  # let handlers finish
+        # one more accept triggers the prune; dead threads must not pile up
+        with so.create_connection(("127.0.0.1", port), timeout=5):
+            pass
+        time.sleep(0.3)
+        assert len(bridge._conn_threads) <= 3
+    finally:
+        bridge.stop()
