@@ -203,3 +203,88 @@ def test_jpeg_truncation_always_fails_closed(data, bx, base):
     full = mm.make_jpeg_bytes(8 * bx, 8, base, 91)
     cut = data.draw(st.integers(3, len(full) - 3))
     assert mm.decode_jpeg_bytes(full[:cut])[-1] is False
+
+
+# ---------------------------------------------------------------------------
+# r4 codecs: GIF LZW + WARC grammar (pure-function kernels)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=8),
+)
+def test_gif_lzw_literal_encode_decode_roundtrip(raw, mcs):
+    """The literal-code encoder and the general LZW decoder agree for
+    every index stream whose values fit the code size."""
+    from beholder_spark.operators import multimodal as mm
+
+    indices = bytes(b % (1 << mcs) for b in raw)
+    stream = mm._gif_lzw_encode_literals(indices, mcs)
+    assert mm._gif_lzw_decode(stream, mcs, len(indices)) == indices
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300), st.integers(min_value=2, max_value=8), st.integers(min_value=1, max_value=64))
+def test_gif_lzw_decode_total_on_junk(data, mcs, n_pixels):
+    """Arbitrary bytes either decode to exactly n_pixels indices or
+    return None — never raise, never over/under-produce."""
+    from beholder_spark.operators import multimodal as mm
+
+    out = mm._gif_lzw_decode(data, mcs, n_pixels)
+    assert out is None or len(out) == n_pixels
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.binary(max_size=200), min_size=1, max_size=5),
+    st.booleans(),
+)
+def test_warc_record_framing_roundtrip_any_bodies(bodies, gzipped):
+    """Arbitrary byte bodies (including ones containing CRLF and fake
+    'WARC/1.0' lines) survive the Content-Length framing byte-exactly,
+    plain or as gzip members."""
+    import hashlib
+    import zlib
+
+    from beholder_spark.operators import parse as P
+
+    recs = [
+        P._warc_record(b"resource", b"u:%d" % i, b"d", b"application/octet-stream", b)
+        for i, b in enumerate(bodies)
+    ]
+    seg = b"".join(recs)
+    if gzipped:
+        def member(r):
+            c = zlib.compressobj(6, zlib.DEFLATED, 31)
+            return c.compress(r) + c.flush()
+        seg = b"".join(member(r) for r in recs)
+    rows = P._warc_segment_rows(1, seg)
+    assert len(rows) == len(bodies)
+    for row, body in zip(rows, bodies):
+        assert row[8] is True
+        assert (row[6], row[7]) == (len(body), hashlib.md5(body).hexdigest())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_warc_segment_rows_total_on_junk(data):
+    """Any byte soup yields >=1 row and never raises (P7: ids never
+    vanish, violations are countable)."""
+    from beholder_spark.operators import parse as P
+
+    rows = P._warc_segment_rows(3, data)
+    assert len(rows) >= 1
+    assert all(r[0] == 3 for r in rows)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_mp3_and_image_decoders_total_on_junk(data):
+    """decode_image_bytes / parse_mp3_meta_bytes are total over arbitrary
+    bytes: a tuple comes back, never an exception."""
+    from beholder_spark.operators import multimodal as mm
+
+    assert len(mm.decode_image_bytes(data)) == 7
+    assert len(mm.parse_mp3_meta_bytes(data)) == 5
