@@ -1848,7 +1848,14 @@ def _jfix_flush_eobrun(bw: _JpegBitWriter, pending: list) -> None:
 
 
 def make_jpeg_progressive_bytes(
-    w: int, h: int, base: int, step: int, acval: int = 0, gray: bool = False, al: int = 1
+    w: int,
+    h: int,
+    base: int,
+    step: int,
+    acval: int = 0,
+    gray: bool = False,
+    al: int = 1,
+    subsample: bool = False,
 ) -> bytes:
     """Deterministic progressive JFIF fixture (SOF2): solid 8x8 luma
     blocks of value (base + i*step) mod 256 (neutral chroma), optionally
@@ -1859,9 +1866,15 @@ def make_jpeg_progressive_bytes(
     approximation ladder: DC first at Al=1 (interleaved), per-component
     AC first at Al=1 (EOB-run coded), DC refinement, AC refinement
     (correction bits / newval insertion when acval>>1 == 0). al=0
-    encodes single full-precision scans (no refinement)."""
+    encodes single full-precision scans (no refinement). subsample=True
+    emits a 4:2:0 frame (w, h multiples of 16): the interleaved DC scans
+    carry 2x2 luma blocks per MCU and the per-component AC scans run
+    over each component's OWN block grid — the geometry the decoder must
+    get right for subsampled progressive files."""
     import struct
 
+    if subsample and (gray or w % 16 or h % 16):
+        raise ValueError("4:2:0 fixture needs color and w, h multiples of 16")
     if w % 8 or h % 8:
         raise ValueError("progressive fixture needs w, h multiples of 8")
     if al not in (0, 1):
@@ -1871,6 +1884,20 @@ def make_jpeg_progressive_bytes(
     nblocks = bw_ * bh_
     vals = [(base + i * step) % 256 for i in range(nblocks)]
     dcs = [8 * (v - 128) for v in vals]
+
+    # luma-block raster indices in DC-SCAN (MCU-interleaved) order
+    if subsample:
+        mcux, mcuy = w // 16, h // 16
+        mcu_luma = [
+            [(my * 2 + byy) * bw_ + (mx * 2 + bxx) for byy in range(2) for bxx in range(2)]
+            for my in range(mcuy)
+            for mx in range(mcux)
+        ]
+        chroma_blocks = mcux * mcuy
+    else:
+        mcu_luma = [[i] for i in range(nblocks)]
+        chroma_blocks = nblocks
+    comp_blocks = [nblocks] + [chroma_blocks] * (ncomp - 1)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
@@ -1886,7 +1913,7 @@ def make_jpeg_progressive_bytes(
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    sof += bytes((1, 0x11, 0))
+    sof += bytes((1, 0x22 if subsample else 0x11, 0))
     if not gray:
         sof += bytes((2, 0x11, 0)) + bytes((3, 0x11, 0))
     out += seg(0xC2, sof)
@@ -1894,14 +1921,15 @@ def make_jpeg_progressive_bytes(
     out += seg(0xC4, bytes([0x10]) + bytes(_JFIX_AC_BITS) + _JFIX_AC_VALS)
     comp_ids = [1] if gray else [1, 2, 3]
 
-    # scan 1: DC first pass, interleaved, Al=al
+    # scan 1: DC first pass, interleaved (MCU order), Al=al
     bw = _JpegBitWriter()
     pred = 0
-    for i in range(nblocks):
-        d = dcs[i] >> al
-        diff = d - pred
-        pred = d
-        _jfix_write_coef(bw, _JFIX_DC_CODES, abs(diff).bit_length(), diff)
+    for blocks in mcu_luma:
+        for i in blocks:
+            d = dcs[i] >> al
+            diff = d - pred
+            pred = d
+            _jfix_write_coef(bw, _JFIX_DC_CODES, abs(diff).bit_length(), diff)
         if not gray:
             for _ in (1, 2):
                 _jfix_write_coef(bw, _JFIX_DC_CODES, 0, 0)
@@ -1916,7 +1944,7 @@ def make_jpeg_progressive_bytes(
     for cn, cid in enumerate(comp_ids):
         bw = _JpegBitWriter()
         pending: list = []
-        for _i in range(nblocks):
+        for _i in range(comp_blocks[cn]):
             if cn == 0 and v1:
                 _jfix_flush_eobrun(bw, pending)
                 la, ca = _JFIX_AC_CODES[0xF0]
@@ -1931,10 +1959,11 @@ def make_jpeg_progressive_bytes(
         out += sos([cid], 1, 63, 0, al) + bw.out
 
     if al:
-        # DC refinement: one raw bit per block per component
+        # DC refinement: one raw bit per block, MCU-interleaved order
         bw = _JpegBitWriter()
-        for i in range(nblocks):
-            bw.write(dcs[i] & 1, 1)
+        for blocks in mcu_luma:
+            for i in blocks:
+                bw.write(dcs[i] & 1, 1)
             if not gray:
                 bw.write(0, 2)
         bw.flush()
@@ -1943,7 +1972,7 @@ def make_jpeg_progressive_bytes(
         for cn, cid in enumerate(comp_ids):
             bw = _JpegBitWriter()
             pending = []
-            for _i in range(nblocks):
+            for _i in range(comp_blocks[cn]):
                 if cn == 0 and acval and v1 == 0:
                     # coefficient appears FIRST here: newval +/-1 after 38
                     # zero-history positions (ZRL, ZRL, run 6)

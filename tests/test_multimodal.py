@@ -578,3 +578,23 @@ def test_progressive_ladder_conformant_for_negative_acval_under_clipping():
             mm.make_jpeg_progressive_bytes(16, 8, 254, 0, acval=acv, al=0)
         )
         assert ladder == direct and ladder[-1] is True, (acv, ladder, direct)
+
+
+def test_progressive_420_subsampled_matches_baseline_and_closed_form():
+    # interleaved DC scans carry 2x2 luma blocks per MCU; AC scans run
+    # over each component's own (subsampled) block grid
+    vals = [(10 + i * 5) % 256 for i in range(8)]
+    exp = sum(64 * v for v in vals)
+    prog = mm.decode_jpeg_bytes(mm.make_jpeg_progressive_bytes(32, 16, 10, 5, subsample=True))
+    assert prog == (32, 16, "jpeg-progressive", exp, exp, exp, True)
+    base = mm.decode_jpeg_bytes(mm.make_jpeg_bytes(32, 16, 10, 5, subsample=True))
+    assert prog[3:] == base[3:]
+    # the full refinement ladder reconstructs exactly at 4:2:0 too
+    for acv in (24, 25, -7):
+        ladder = mm.decode_jpeg_bytes(
+            mm.make_jpeg_progressive_bytes(32, 32, 17, 29, acval=acv, al=1, subsample=True)
+        )
+        direct = mm.decode_jpeg_bytes(
+            mm.make_jpeg_progressive_bytes(32, 32, 17, 29, acval=acv, al=0, subsample=True)
+        )
+        assert ladder == direct and ladder[-1] is True, acv
