@@ -213,6 +213,10 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
         "webtext_span_dedup",
         "webtext_pii_redact",
         "curation_pipeline_counts",
+        # r4 ingest/codec families (fixture encode + real decode per row)
+        "parse_warc_records",
+        "multimodal_jpeg_decode",
+        "multimodal_gif_decode",
     ]
     runs_per = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
     ref = CALIB_REF["spark_parse_sec"]
