@@ -553,11 +553,12 @@ def _warc_record(warc_type: bytes, uri: bytes, date: bytes, ctype: bytes, payloa
 
 def make_warc_bytes(doc_id: int, text: str, lang: str) -> bytes:
     """Deterministic CC-style WARC fixture: a gzip-member-per-record
-    segment holding one HTTP response record (body = the document text)
-    and, for even doc_ids, a metadata record (body = 'lang=<lang>')."""
+    segment holding one HTTP response record (body = the document text,
+    lang carried in the URI path) and, for even doc_ids, a metadata
+    record (body = 'lang=<lang>')."""
     import zlib
 
-    uri = f"https://example.com/doc/{doc_id}".encode()
+    uri = f"https://example.com/{lang}/{doc_id}".encode()
     date = b"2025-01-01T00:00:00Z"
     body = text.encode("utf-8")
     http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body

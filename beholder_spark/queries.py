@@ -2793,7 +2793,7 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r0 AS (
       SELECT doc_id, CAST(0 AS BIGINT) AS rec_no, 'response' AS warc_type,
-             'https://example.com/doc/' || doc_id AS target_uri,
+             'https://example.com/' || lang || '/' || doc_id AS target_uri,
              '2025-01-01T00:00:00Z' AS warc_date,
              CAST(200 AS BIGINT) AS http_status,
              CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
@@ -2802,7 +2802,7 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), r1 AS (
       SELECT doc_id, CAST(1 AS BIGINT) AS rec_no, 'metadata' AS warc_type,
-             'https://example.com/doc/' || doc_id AS target_uri,
+             'https://example.com/' || lang || '/' || doc_id AS target_uri,
              '2025-01-01T00:00:00Z' AS warc_date,
              CAST(NULL AS BIGINT) AS http_status,
              CAST(octet_length(encode('lang=' || lang)) AS BIGINT) AS body_len,
@@ -2826,6 +2826,50 @@ def parse_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     seg = parse.with_warc_payload(docs, "doc_id", "text", "lang")
     return parse.parse_warc(seg, "payload", "doc_id").withColumnRenamed("id", "doc_id")
+
+
+@_register(
+    "warc_ingest_dedup_counts",
+    """
+    WITH resp AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+    sv AS (SELECT h, min(doc_id) AS keeper FROM resp GROUP BY h)
+    SELECT r.lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE r.doc_id = s.keeper) AS n_survivors,
+           count(*) FILTER (WHERE r.doc_id <> s.keeper) AS n_dropped
+    FROM resp r JOIN sv s ON s.h = r.h
+    GROUP BY r.lang
+    """,
+)
+def warc_ingest_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl ingest → curation in ONE oracle: genuine WARC
+    segments are parsed (`parse_warc`), HTTP response records filtered,
+    the language derived from the crawled URI (regexp over target_uri —
+    field derivation from parsed metadata, not a side channel), exact
+    dedup runs on the record body's md5 (min-doc_id survivor), and
+    per-language survivor accounting comes out. The DuckDB twin
+    re-derives everything from the source table, so one hash match
+    proves container framing + gzip chaining + HTTP split + body-byte
+    fidelity + the dedup rule + the aggregate, composed.
+
+    Scale shape: record split rides the scan (mapInPandas, zero
+    exchanges); the only shuffles are the md5-keyed dedup aggregate
+    (32-byte keys, never bodies) and the bookkeeping-sized count — the
+    same audited pieces as fingerprint_dups."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    rec = parse.parse_warc(parse.with_warc_payload(docs, "doc_id", "text", "lang"), "payload", "doc_id")
+    resp = rec.filter((F.col("warc_type") == "response") & F.col("parse_ok")).select(
+        F.col("id").alias("doc_id"),
+        F.regexp_extract("target_uri", r"example\.com/([a-z]+)/", 1).alias("lang"),
+        F.col("body_md5").alias("h"),
+    )
+    sv = resp.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    j = resp.join(sv, "h")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("doc_id") == F.col("keeper")).alias("n_survivors"),
+        F.count_if(F.col("doc_id") != F.col("keeper")).alias("n_dropped"),
+    )
 
 
 @_register(
