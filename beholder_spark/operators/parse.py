@@ -408,26 +408,54 @@ WARC_RECORD_SCHEMA = T.StructType(
 )
 
 
-def _warc_gunzip_members(data: bytes):
-    """Inflate a run of concatenated gzip members; None on any violation
-    (truncated member, trailing junk, inflate budget exceeded)."""
+def _warc_gunzip_members(data: bytes) -> tuple[bytes, bool]:
+    """Inflate a run of concatenated gzip members. Returns
+    (inflated_prefix, ok): on a violation (truncated member, trailing
+    junk, inflate budget exceeded) every COMPLETE member decoded before
+    it is still returned with ok=False, so its records are salvaged per
+    the operator SPEC (gzip.GzipFile cannot do this — it discards
+    already-decoded members when a read call hits the corruption).
+
+    Linearity: input is fed from a memoryview (zero-copy slices) in
+    per-member feeds that START small and DOUBLE, so the one bytes copy
+    zlib makes (unused_data, the overfeed past the member end) is
+    bounded by ~2x the member's own size — a million tiny members stay
+    O(total input), immune to the quadratic remaining-input copy a
+    naive `rest = d.unused_data` loop performs."""
     import zlib
 
-    out = []
+    mv = memoryview(data)
+    pos = 0
+    n = len(data)
+    out: list[bytes] = []
     budget = MAX_WARC_SEGMENT_BYTES
-    rest = data
-    while rest:
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
+        member_out: list[bytes] = []
+        feed_size = 4096
         try:
-            chunk = d.decompress(rest, budget + 1)
+            while not d.eof:
+                if pos >= n:
+                    raise zlib.error("truncated member")
+                feed = mv[pos : pos + feed_size]
+                pos += len(feed)
+                feed_size *= 2
+                piece = d.decompress(feed, budget + 1)
+                member_out.append(piece)
+                budget -= len(piece)
+                if budget < 0:
+                    raise zlib.error("inflate budget exceeded")
+                while d.unconsumed_tail:  # output-capped: drain the rest
+                    piece = d.decompress(d.unconsumed_tail, budget + 1)
+                    member_out.append(piece)
+                    budget -= len(piece)
+                    if budget < 0:
+                        raise zlib.error("inflate budget exceeded")
         except zlib.error:
-            return None
-        if len(chunk) > budget or not d.eof:
-            return None
-        budget -= len(chunk)
-        out.append(chunk)
-        rest = d.unused_data
-    return b"".join(out)
+            return b"".join(out), False
+        pos -= len(d.unused_data)  # overfeed past the member end: rewind
+        out.extend(member_out)
+    return b"".join(out), True
 
 
 def _warc_iter_records(data: bytes):
@@ -488,17 +516,16 @@ def _warc_segment_rows(rid: int, data: bytes | None) -> list[tuple]:
     quarantine = (rid, None, None, None, None, None, None, None, False)
     if data is None or len(data) == 0:
         return [quarantine]
+    tail_bad = False
     if data[:2] == b"\x1f\x8b":
-        inflated = _warc_gunzip_members(bytes(data))
-        if inflated is None:
-            return [quarantine]
-        data = inflated
+        data, ok = _warc_gunzip_members(bytes(data))
+        tail_bad = not ok  # good members' records are still salvaged below
     elif len(data) > MAX_WARC_SEGMENT_BYTES:
         return [quarantine]
     rows: list[tuple] = []
     try:
         for rec_no, headers, payload in _warc_iter_records(bytes(data)):
-            ctype = headers.get(b"content-type", b"")
+            ctype = headers.get(b"content-type", b"").lower()
             if ctype.startswith(b"application/http"):
                 status, body = _warc_split_http(payload)
             else:
@@ -517,7 +544,9 @@ def _warc_segment_rows(rid: int, data: bytes | None) -> list[tuple]:
                 )
             )
     except ValueError:
-        rows.append(quarantine)  # salvage prefix + countable corrupt tail
+        tail_bad = True
+    if tail_bad:
+        rows.append(quarantine)  # salvage prefix + ONE countable corrupt tail
     return rows or [quarantine]
 
 

@@ -34,23 +34,22 @@ BROADCAST_ROW_LIMIT = int(os.environ.get("BEHOLDER_BROADCAST_ROW_LIMIT", "100000
 def bounded_small_side(small: DataFrame, row_limit: int | None = None) -> DataFrame:
     """Count-gated broadcast guard for derived "small" join sides.
 
-    The frame is persisted (MEMORY_AND_DISK — lineage retained, so an
-    executor loss RECOMPUTES rather than failing the query, which
-    localCheckpoint's non-reliable blocks cannot), counted once, and
-    returned either broadcast-hinted (count ≤ limit) or
-    shuffle-hash-hinted (count > limit, unpersisted: a too-big side must
-    not pin executor storage — the shuffled join recomputes it in one
-    pass). The hint makes the fallback shape deterministic; AQE remains
-    the runtime backstop. NOTE: the count gate executes a job at
+    The gate COUNTS the side once and returns it broadcast-hinted
+    (count ≤ limit) or shuffle-hash-hinted (count > limit). The count
+    costs one computation of the small side and the join pays a second
+    — deliberately: persisting instead would either pin CacheManager
+    storage for the session lifetime (persist is never safely
+    unpersistable here because the returned frame executes later) or
+    sit on localCheckpoint's non-reliable blocks that an executor loss
+    cannot recompute. Both sides of that trade lose at daemon lifetime;
+    one recompute of an aggregation over md5 digests does not. The hint
+    makes the fallback shape deterministic; AQE remains the runtime
+    backstop. NOTE: the count gate executes a job at
     operator-construction time by design — the guard is the point.
     """
-    from pyspark import StorageLevel
-
     limit = BROADCAST_ROW_LIMIT if row_limit is None else row_limit
-    small = small.persist(StorageLevel.MEMORY_AND_DISK)
     if small.count() <= limit:
         return F.broadcast(small)
-    small.unpersist()
     return small.hint("shuffle_hash")
 
 # Query parameters that identify a click, not a resource. Shared with the

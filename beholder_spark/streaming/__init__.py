@@ -182,15 +182,19 @@ def write_manifested_stream(
         raise ValueError("buffer_rows requires order_col (deterministic survivor set)")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # key FIRST: batch_key_col must see the original file scan —
+        # evaluating it above the orderBy().limit() exchange would read
+        # input_file_name() as '' and degrade every key to b<batch_id>
+        # (the checkpoint-loss silent-drop class; see batch_key_col)
+        b = batch_df.withColumn("_batch", batch_key_col(batch_id))
         dropped = 0
         if buffer_rows is not None:
-            n_in = batch_df.count()
+            n_in = b.count()
             if n_in > buffer_rows:
                 # sort+limit compiles to TakeOrderedAndProject — per-
                 # partition top-N then merge, never a full global sort
-                batch_df = batch_df.orderBy(order_col).limit(buffer_rows)
+                b = b.orderBy(order_col).limit(buffer_rows)
                 dropped = n_in - buffer_rows
-        b = batch_df.withColumn("_batch", batch_key_col(batch_id))
         ln.run_stage(
             b.sparkSession, out_root, stage, b, partition_col="_batch",
             extra_lineage={"dropped_overflow": dropped},

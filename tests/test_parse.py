@@ -202,3 +202,36 @@ def test_warc_spark_path_multiplicity_and_ids_never_vanish(spark):
     assert len(by_id[2]) == 2 and all(r["parse_ok"] for r in by_id[2])
     assert len(by_id[3]) == 1 and by_id[3][0]["warc_type"] == "response"
     assert len(by_id[4]) == 1 and by_id[4][0]["parse_ok"] is False
+
+
+def test_warc_gzip_prefix_salvage_and_case_insensitive_http():
+    """Regression (r4 review): a truncated gzip member must not swallow
+    records already decoded from earlier good members, and the embedded-
+    HTTP split must match Content-Type case-insensitively."""
+    import hashlib
+    import zlib
+
+    from beholder_spark.operators import parse as P
+
+    def member(raw):
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return c.compress(raw) + c.flush()
+
+    r1 = P._warc_record(b"resource", b"u:1", b"d", b"text/plain", b"first")
+    r2 = P._warc_record(b"resource", b"u:2", b"d", b"text/plain", b"second")
+    r3 = P._warc_record(b"resource", b"u:3", b"d", b"text/plain", b"third")
+    seg = member(r1) + member(r2) + member(r3)[: len(member(r3)) // 2]
+    rows = P._warc_segment_rows(9, seg)
+    assert len(rows) == 3  # two salvaged + ONE countable quarantine
+    assert [r[8] for r in rows] == [True, True, False]
+    assert [r[6] for r in rows[:2]] == [5, 6]
+    # mixed-case Content-Type still triggers the HTTP split (RFC 2045)
+    http = b"HTTP/1.1 200 OK\r\n\r\nbody!"
+    rec = P._warc_record(b"response", b"u:4", b"d", b"Application/HTTP; msgtype=response", http)
+    r = P._warc_segment_rows(4, rec)[0]
+    assert (r[5], r[6], r[7]) == (200, 5, hashlib.md5(b"body!").hexdigest())
+    # many-member segments stay linear (would hang under the old
+    # per-member unused_data copy if quadratic)
+    many = member(r1) * 5000
+    rows = P._warc_segment_rows(10, many)
+    assert len(rows) == 5000 and all(r[8] for r in rows)

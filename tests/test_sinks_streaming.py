@@ -282,3 +282,10 @@ def test_manifested_stream_counts_overflow_drops(spark, tmp_path):
     lin = ln.read_lineage(spark, str(tmp_path / "out")).filter("stage = 'events'")
     rows = lin.select("rows_out", "dropped_overflow").collect()
     assert sorted((r.rows_out, r.dropped_overflow) for r in rows) == [(30, 20)] * 3
+
+    # regression (r4 review): the overflow path must key BEFORE the
+    # orderBy().limit() exchange — file-keyed _batch values, never the
+    # b<batch_id> degradation that silently drops rows on
+    # checkpoint-loss replay
+    keys = [r._batch for r in got.select("_batch").distinct().collect()]
+    assert keys and all(k.startswith("f") for k in keys), keys
