@@ -253,3 +253,33 @@ def contamination_overlap(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 4
         ).alias("contamination_ratio"),
     )
+
+
+# C4-style lexicon screen. The demo lexicon is pinned here and shared
+# VERBATIM with the DuckDB oracle (Java∩RE2 subset: (?i) and \b are in
+# both engines); production swaps in the real per-language lists — the
+# plan shape (one codegen'd regexp_count, zero shuffle) is the point.
+BADWORD_RE = r"(?i)\b(?:casino|viagra|lottery|warez|xxx)\b"
+
+
+def with_badword_stats(df: DataFrame, text_col: str, out_prefix: str = "bad_") -> DataFrame:
+    """Per-document lexicon hit count + flag (C4-style page screen):
+    pure JVM column expressions, rides the scan at any scale."""
+    hits = F.regexp_count(F.col(text_col), F.lit(BADWORD_RE))
+    return df.withColumn(out_prefix + "hits", hits).withColumn(
+        out_prefix + "flag", hits > F.lit(0)
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, host_col: str, blocked: DataFrame, blocked_col: str = "host"
+) -> DataFrame:
+    """C4-style domain-blocklist removal: LEFT ANTI join of the page's
+    host against a blocked-hosts table, through the count-gated
+    broadcast guard — broadcast for real-world blocklist sizes (10^4-6
+    hosts), shuffled-hash fallback if someone feeds a crawl-sized list."""
+    return df.join(
+        bounded_small_side(blocked),
+        on=F.col(host_col) == F.col(blocked_col),
+        how="left_anti",
+    )

@@ -2873,6 +2873,52 @@ def warc_ingest_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "webtext_badwords_blocklist",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             'www.example' || (doc_id % 20) || '.com' AS host,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' visit my CASINO now'
+                  ELSE text END AS body
+      FROM documents
+    )
+    SELECT doc_id, host,
+           CAST(length(regexp_extract_all(body, '(?i)\\b(?:casino|viagra|lottery|warez|xxx)\\b')) AS BIGINT) AS bad_hits,
+           length(regexp_extract_all(body, '(?i)\\b(?:casino|viagra|lottery|warez|xxx)\\b')) > 0 AS bad_flag
+    FROM p
+    WHERE (doc_id % 20) % 4 <> 0
+    """,
+)
+def webtext_badwords_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page screening, composed: a domain BLOCKLIST anti-join
+    (through the count-gated broadcast guard) removes blocked hosts,
+    then the pinned lexicon regex counts bad-word hits per surviving
+    page (bad words injected deterministically on both engines, like
+    the PII fixture). The lexicon regex is shared VERBATIM with the
+    oracle so 'bad' has one definition. Zero-shuffle screen + one
+    bookkeeping-sized anti-join — the exact shape C4's cleanup runs at
+    crawl scale."""
+    from beholder_spark.operators import webtext
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("www.example"), (F.col("doc_id") % 20).cast("string"), F.lit(".com")).alias("host"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" visit my CASINO now"))
+        ).otherwise(F.col("text")).alias("body"),
+    )
+    blocked = (
+        d.select("doc_id", F.col("host").alias("bhost"))
+        .filter((F.col("doc_id") % 20) % 4 == 0)
+        .select("bhost")
+        .distinct()
+    )
+    kept = webtext.blocklist_filter(d, "host", blocked, blocked_col="bhost")
+    out = webtext.with_badword_stats(kept, "body")
+    return out.select("doc_id", "host", "bad_hits", "bad_flag")
+
+
+@_register(
     "multimodal_mp3_meta",
     """
     WITH br(idx, kbps) AS (

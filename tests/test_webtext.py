@@ -75,3 +75,22 @@ def test_contamination_bounds(spark):
     assert out[11].contamination_ratio == 0.0
     assert 0.0 < out[12].contamination_ratio < 1.0  # shares "the quick brown"
     assert out[12].n_contaminated == 1
+
+
+def test_blocklist_filter_and_badword_stats(spark):
+    from beholder_spark.operators import webtext
+
+    d = spark.createDataFrame(
+        [(1, "a.com", "win the LOTTERY twice lottery"), (2, "b.com", "clean text"),
+         (3, "a.com", "also clean")],
+        "doc_id long, host string, body string",
+    )
+    blocked = spark.createDataFrame([("b.com",)], "bhost string")
+    kept = webtext.blocklist_filter(d, "host", blocked, blocked_col="bhost")
+    out = {r.doc_id: r for r in webtext.with_badword_stats(kept, "body").collect()}
+    assert set(out) == {1, 3}  # b.com removed
+    assert out[1].bad_hits == 2 and out[1].bad_flag is True  # case-insensitive
+    assert out[3].bad_hits == 0 and out[3].bad_flag is False
+    # plan: anti-join broadcasts the (small) blocklist side
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
