@@ -2600,6 +2600,84 @@ def dedup_fuzzy_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_fuzzy_quality_survivors",
+    f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra token here' AS text, lang
+      FROM documents WHERE doc_id < 50
+    ),
+    {_FUZZY_CTES},
+    pairs AS ({_FUZZY_PAIRS}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    clusters AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+    memb AS (
+      SELECT c.doc_id, c.lang, length(c.text) AS n_chars,
+             coalesce(cl.cluster_id, c.doc_id) AS cluster_id
+      FROM corpus c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+      ) AS rk FROM memb
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE rk = 1) AS n_survivors,
+           CAST(sum(n_chars) FILTER (WHERE rk = 1) AS BIGINT) AS survivor_chars
+    FROM ranked GROUP BY lang
+    """,
+)
+def dedup_fuzzy_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE survivor policy for fuzzy dedup (the FineWeb-style
+    refinement of dedup_fuzzy_pipeline_counts): within each near-dup
+    cluster keep the member with the MOST content (char count, doc_id
+    tie-break) instead of the smallest id — on this fixture the two
+    policies VISIBLY diverge (the injected near-dups are longer than
+    their originals, so the quality rule keeps the opposite member),
+    and the oracle replays signatures → banding → reachability →
+    ranked survivor rule end-to-end.
+
+    Scale shape: identical to the min-id pipeline plus ONE window over
+    clusters — near-dup clusters are tiny (bounded by the LSH caps), so
+    the rank shuffle carries (cluster_id, n_chars, doc_id) triples, not
+    text."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token here")).alias("text"),
+        F.col("lang"),
+    )
+    corpus = d.unionByName(dups)
+    pairs = dd.minhash_candidate_pairs(corpus, "doc_id", "text", shingle_n=3)
+    cc = dd.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    memb = (
+        corpus.join(cc, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .withColumn("n_chars", F.length("text"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = memb.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("rk") == 1).alias("n_survivors"),
+        F.sum(F.when(F.col("rk") == 1, F.col("n_chars"))).cast("long").alias("survivor_chars"),
+    )
+
+
+@_register(
     "multimodal_jpeg_decode",
     """
     WITH p AS (
