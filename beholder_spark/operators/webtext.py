@@ -272,14 +272,20 @@ def with_badword_stats(df: DataFrame, text_col: str, out_prefix: str = "bad_") -
 
 
 def blocklist_filter(
-    df: DataFrame, host_col: str, blocked: DataFrame, blocked_col: str = "host"
+    df: DataFrame,
+    host_col: str,
+    blocked: DataFrame,
+    blocked_col: str = "host",
+    broadcast_row_limit: int | None = None,
 ) -> DataFrame:
     """C4-style domain-blocklist removal: LEFT ANTI join of the page's
     host against a blocked-hosts table, through the count-gated
     broadcast guard — broadcast for real-world blocklist sizes (10^4-6
-    hosts), shuffled-hash fallback if someone feeds a crawl-sized list."""
-    return df.join(
-        bounded_small_side(blocked),
-        on=F.col(host_col) == F.col(blocked_col),
-        how="left_anti",
+    hosts), shuffled-hash fallback past ``broadcast_row_limit`` (same
+    knob as the sibling guarded operators). The blocked side is aliased
+    to a private key internally so ``blocked_col`` may equal
+    ``host_col`` (including the common case where both are 'host')."""
+    small = bounded_small_side(
+        blocked.select(F.col(blocked_col).alias("__blocked_key")), broadcast_row_limit
     )
+    return df.join(small, on=F.col(host_col) == F.col("__blocked_key"), how="left_anti")

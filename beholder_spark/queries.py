@@ -2530,6 +2530,8 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # past the cutoff stays registered and is still verified by
 # tools/check_oracle.py and the test suite.
 
+from beholder_spark.operators import webtext  # noqa: E402
+
 _FUZZY_CTES, _FUZZY_PAIRS = _minhash_ctes()
 
 
@@ -2952,7 +2954,7 @@ def warc_ingest_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "webtext_badwords_blocklist",
-    """
+    f"""
     WITH p AS (
       SELECT doc_id,
              'www.example' || (doc_id % 20) || '.com' AS host,
@@ -2961,8 +2963,8 @@ def warc_ingest_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, host,
-           CAST(length(regexp_extract_all(body, '(?i)\\b(?:casino|viagra|lottery|warez|xxx)\\b')) AS BIGINT) AS bad_hits,
-           length(regexp_extract_all(body, '(?i)\\b(?:casino|viagra|lottery|warez|xxx)\\b')) > 0 AS bad_flag
+           CAST(length(regexp_extract_all(body, '{webtext.BADWORD_RE}')) AS BIGINT) AS bad_hits,
+           length(regexp_extract_all(body, '{webtext.BADWORD_RE}')) > 0 AS bad_flag
     FROM p
     WHERE (doc_id % 20) % 4 <> 0
     """,

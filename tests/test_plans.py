@@ -209,14 +209,14 @@ def test_webtext_guard_fallback_results_identical(spark):
     assert a == b and a[1][1] > 0 and a[2][1] == 0
 
 
-def test_warc_and_codec_queries_ride_the_scan_with_zero_exchange(spark):
+def test_warc_and_codec_queries_ride_the_scan_with_zero_exchange(spark, sf_dir):
     """The r4 ingest/codec queries must stay scan-riding: parquet scan
     pruned to the parameter columns, fixture Arrow stage, the real
     parser/codec MapInPandas stage, NO shuffle anywhere."""
     from beholder_spark.queries import QUERIES
 
     for name in ("parse_warc_records", "multimodal_jpeg_progressive", "multimodal_gif_decode"):
-        df = QUERIES[name][0](spark, "/root/testdata/sf0.001")
+        df = QUERIES[name][0](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, name
         assert "MapInPandas" in plan, name

@@ -94,3 +94,14 @@ def test_blocklist_filter_and_badword_stats(spark):
     # plan: anti-join broadcasts the (small) blocklist side
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # regression (r4 review): the DEFAULT blocked_col='host' — i.e. both
+    # sides sharing a column name — must not raise AMBIGUOUS_REFERENCE
+    blocked2 = spark.createDataFrame([("b.com",)], "host string")
+    same = webtext.blocklist_filter(d, "host", blocked2)
+    assert sorted(r.doc_id for r in same.collect()) == [1, 3]
+    # forced shuffled-hash fallback returns identical rows (same knob as
+    # the sibling guarded operators)
+    fb = webtext.blocklist_filter(d, "host", blocked2, broadcast_row_limit=0)
+    assert sorted(r.doc_id for r in fb.collect()) == [1, 3]
+    fplan = fb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in fplan
