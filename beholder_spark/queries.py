@@ -3135,10 +3135,15 @@ _SWEEP_FIRST = [
     "salted_join_order_priority",
     "percentiles_value_by_type",
     "stream_windowed_counts_events",
-    # LLM-pipeline basics (text stats, lang-id, fingerprints, sampling)
-    "textstats_tokens",
-    "dedup_exact_texts",
-    "sample_stratified_langs",
+    # --- round-5 rotation (VERDICT r4 item 2): first driver rows for the
+    # four r4 queries whose only green rows were the judge's re-run.
+    # Rotated out for them: textstats_tokens, dedup_exact_texts,
+    # sample_stratified_langs (each green in driver rounds 1-4) and
+    # time_between_events (green r3+r4) — all ≥2-round-proven ---
+    "parse_warc_records",
+    "warc_ingest_dedup_counts",
+    "webtext_badwords_blocklist",
+    "dedup_fuzzy_quality_survivors",
     # near-dup family (capped/filtered = the scale-shaped variants)
     "dedup_minhash_lsh_capped",
     "dedup_simhash48",
@@ -3146,7 +3151,6 @@ _SWEEP_FIRST = [
     # --- round-2/3 flagships promoted into the sweep ---
     "asof_purchase_attribution",
     "interval_clicks_before_purchase",
-    "time_between_events",
     "dedup_dup_clusters",
     "dedup_incremental_new_vs_index",
     "dedup_winnow_overlap",

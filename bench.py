@@ -2,14 +2,19 @@
 
 Default mode: run the headline workload at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print
-ONE JSON line::
+TWO JSON lines — the full record (per-query min/median/runs + calibration
+brackets, also persisted to ``BENCH/bench_last_full.json``) first, then a
+compact headline as the FINAL stdout line::
 
     {"metric": "...", "value": <docs/sec>, "unit": "docs/sec",
      "queries": {"q": sec, ...}, "sf": ...}
 
-The headline metric is end-to-end parse→enrich→route→aggregate docs/sec
-over a deterministic synthetic CC-style pages table (BASELINE.json:2);
-the ``queries`` dict adds per-operator seconds over the sf testdata.
+The driver tail-captures only the last 2000 chars of stdout, so the last
+line is kept under 1800 chars (the scalar ``queries`` table is dropped
+first if it would ever overflow). The headline metric is end-to-end
+parse→enrich→route→aggregate docs/sec over a deterministic synthetic
+CC-style pages table (BASELINE.json:2); ``queries`` adds per-operator
+seconds over the sf testdata.
 
 ``--scaling`` mode runs the SAME pipeline at two parallelism levels
 (local[8] vs local[32]) in fresh subprocesses and reports throughput at
@@ -245,6 +250,30 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
     return times, detail
 
 
+TAIL_BUDGET_CHARS = 1800  # driver captures the last 2000 stdout chars
+
+
+def format_output_lines(full: dict) -> list[str]:
+    """[full JSON, compact headline JSON] — the compact line is LAST on
+    stdout and kept ≤ TAIL_BUDGET_CHARS so the driver's 2000-char tail
+    capture always parses it (r4's single fat line yielded parsed:null).
+    The scalar per-query table is included while it fits, dropped first
+    if it would ever overflow."""
+    compact = {
+        k: full.get(k)
+        for k in (
+            "metric", "value", "unit", "value_noise_normalized",
+            "host_slowdown", "pipeline_sec", "pipeline_docs", "sf",
+        )
+    }
+    compact["detail"] = "BENCH/bench_last_full.json"
+    with_queries = dict(compact, queries=full.get("queries", {}))
+    line = json.dumps(with_queries)
+    if len(line) > TAIL_BUDGET_CHARS:
+        line = json.dumps(compact)
+    return [json.dumps(full), line]
+
+
 def main_bench() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -311,39 +340,50 @@ def main_bench() -> None:
         sl = (bracket / ref) if ref else 1.0  # symmetric — see host_slowdown
         per_run_norm.append(round(sl * docs / s, 1))
     norm_sorted = sorted(per_run_norm)
-    print(
-        json.dumps(
-            {
-                "metric": "e2e parse→enrich→route→aggregate throughput",
-                "value": round(docs / sec, 1),
-                "unit": "docs/sec",
-                # median per-run normalized is the honest central estimate;
-                # best is reported alongside, never as the headline
-                "value_noise_normalized": (
-                    norm_sorted[len(norm_sorted) // 2] if norm_sorted else None
-                ),
-                "value_noise_normalized_best": max(per_run_norm) if per_run_norm else None,
-                "value_noise_normalized_per_run": per_run_norm,
-                "host_slowdown": host_slowdown,
-                "calib_spark_parse_samples": spark_calib,
-                "calib_samples": calib_samples,
-                "calib_best": {
-                    "cpu_sec": best_cpu,
-                    "membw_sec": best_membw,
-                    "spark_parse_sec": best_spark_calib,
-                },
-                "calib_ref": CALIB_REF,
-                "pipeline_sec": round(sec, 2),
-                "pipeline_runs_sec": secs,
-                "pipeline_docs": docs,
-                "dedup_parse_sec": round(dd_sec, 2),
-                "dedup_parse_docs_per_sec": round(docs / dd_sec, 1),
-                "queries": qtimes,
-                "queries_detail": qdetail,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    full = {
+        "metric": "e2e parse→enrich→route→aggregate throughput",
+        "value": round(docs / sec, 1),
+        "unit": "docs/sec",
+        # median per-run normalized is the honest central estimate;
+        # best is reported alongside, never as the headline
+        "value_noise_normalized": (
+            norm_sorted[len(norm_sorted) // 2] if norm_sorted else None
+        ),
+        "value_noise_normalized_best": max(per_run_norm) if per_run_norm else None,
+        "value_noise_normalized_per_run": per_run_norm,
+        "host_slowdown": host_slowdown,
+        "calib_spark_parse_samples": spark_calib,
+        "calib_samples": calib_samples,
+        "calib_best": {
+            "cpu_sec": best_cpu,
+            "membw_sec": best_membw,
+            "spark_parse_sec": best_spark_calib,
+        },
+        "calib_ref": CALIB_REF,
+        "pipeline_sec": round(sec, 2),
+        "pipeline_runs_sec": secs,
+        "pipeline_docs": docs,
+        "dedup_parse_sec": round(dd_sec, 2),
+        "dedup_parse_docs_per_sec": round(docs / dd_sec, 1),
+        "queries": qtimes,
+        "queries_detail": qdetail,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full record: first stdout line + durable file. The driver tail-captures
+    # only the LAST 2000 chars of stdout, and the r4 full record (per-query
+    # min/median/runs/calib tables) outgrew that window → BENCH_r04.json
+    # "parsed": null. So the full record goes FIRST (plus BENCH/ on disk) and
+    # the very last line is a compact headline the tail window always fits.
+    for line in format_output_lines(full):
+        print(line)
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_last_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout must not break the bench
+    sys.stdout.flush()
 
 
 SCALING_RUNS = int(os.environ.get("SCALING_RUNS", "5"))

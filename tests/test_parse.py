@@ -144,6 +144,33 @@ def test_warc_handcrafted_record_and_http_split():
     assert (r[5], r[6], r[8]) == (None, 3, True)
 
 
+def test_warc_hostile_status_degrades_to_null(spark):
+    """A status-line bigint ('HTTP/1.1 9{30} OK') must degrade to a NULL
+    status — NOT build a Python int that overflows Arrow int64 and kills
+    the whole mapInPandas task (violating the salvage+quarantine SPEC)."""
+    import pandas as pd
+
+    from beholder_spark.operators import parse as P
+
+    hostile = P._warc_record(
+        b"response", b"u:evil", b"d", b"application/http;msgtype=response",
+        b"HTTP/1.1 " + b"9" * 30 + b" OK\r\nServer: t\r\n\r\nbody",
+    )
+    row = P._warc_segment_rows(1, hostile)[0]
+    assert (row[5], row[6], row[8]) == (None, 4, True)
+    # boundary cases: 3-digit in range kept, out-of-range dropped
+    for raw, want in ((b"599", 599), (b"099", None), (b"1000", None)):
+        rec = P._warc_record(
+            b"response", b"u:b", b"d", b"application/http;msgtype=response",
+            b"HTTP/1.1 " + raw + b" X\r\n\r\nok",
+        )
+        assert P._warc_segment_rows(2, rec)[0][5] == want, raw
+    # full Spark path: the hostile record must not crash the Arrow stage
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [hostile]})
+    out = P.parse_warc(spark.createDataFrame(pdf), "payload", "doc_id").collect()
+    assert len(out) == 1 and out[0]["http_status"] is None and out[0]["parse_ok"]
+
+
 def test_warc_violations_salvage_and_quarantine():
     from beholder_spark.operators import parse as P
 

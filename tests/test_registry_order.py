@@ -35,6 +35,14 @@ REQUIRED_FLAGSHIPS = [
     "multimodal_mp3_meta",
     "config_internal_log_counts",
     "dedup_fuzzy_pipeline_counts",
+    # round-5 rotation (VERDICT r4 item 2): the four r4 queries whose only
+    # green rows were the judge's independent re-run take the slots of
+    # textstats_tokens / dedup_exact_texts / sample_stratified_langs /
+    # time_between_events (each green in ≥2 prior driver rounds)
+    "parse_warc_records",
+    "warc_ingest_dedup_counts",
+    "webtext_badwords_blocklist",
+    "dedup_fuzzy_quality_survivors",
 ]
 
 FAMILY_REPS = [

