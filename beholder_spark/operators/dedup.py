@@ -347,11 +347,14 @@ def connected_components(
         re-points its smaller neighbors and itself at the minimum
         (same two shuffles).
     All shuffle keys are node ids, payload one id — never text. The
-    edge set is persisted per round, the previous round released, and
-    lineage is truncated with periodic non-eager localCheckpoints (same
-    memory discipline as before). Convergence = the directed edge set
-    is EXACTLY stable across a full alternation (count + exceptAll —
-    set equality, no checksum false-positives); at the fixed point every
+    edge set is materialized per round with an EAGER localCheckpoint
+    that truncates the logical plan (each round references the previous
+    set ~10×, so an untruncated plan grows ~10×/round and Catalyst
+    analysis time explodes — see the loop comment); the previous
+    round's blocks are released as frames are rebound. Convergence =
+    the directed edge set is EXACTLY stable across a full alternation
+    (count + left-anti join — set equality on distinct sets, no
+    checksum false-positives); at the fixed point every
     non-minimum node points directly at its component minimum (the
     paper's star-forest invariant), so labels read straight off the
     edges with no extra propagation pass.
@@ -361,7 +364,10 @@ def connected_components(
     n rounds. Raises RuntimeError if not converged within ``max_iter``
     (no silent partial clustering).
     """
-    e_raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # ONE materialization of the (possibly expensive) upstream pair plan:
+    # nodes and edges both derive from this persisted projection, so e.g.
+    # a MinHash-LSH pair generation runs once, not once per derived frame.
+    e_raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).persist()
     # every node ever mentioned (incl. self-pair-only nodes) must be output
     nodes = (
         e_raw.select("u")
@@ -407,14 +413,32 @@ def connected_components(
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
             )
-            if i % 3 == 2:
-                new_edges = new_edges.localCheckpoint(eager=False)
-            new_edges = new_edges.persist()
+            # Truncate the logical plan EVERY round (eager localCheckpoint).
+            # Each round references the previous edge set ~10× (the sym
+            # union plus two self-joins through the min-aggregates), so an
+            # untruncated plan grows ~10×/round and Catalyst ANALYSIS — not
+            # execution — dominates wall-clock (measured: 95 s of a 99 s
+            # third round on a 691-pair sf0.1 input with the r5-initial
+            # every-3rd-round lazy checkpoint; 3 s/round truncated). The
+            # convergence count materializes the data anyway, so the eager
+            # checkpoint adds one cheap job and keeps analysis O(1)/round.
+            # Superseded rounds' blocks are released by the ContextCleaner
+            # when the old frame is rebound below. localCheckpoint blocks
+            # are non-reliable: an executor loss mid-iteration fails the
+            # job and the caller reruns — acceptable for a bounded batch
+            # operator (O(log n) rounds), unlike the session-lifetime
+            # guards where durability forced a different design.
+            new_edges = new_edges.localCheckpoint(eager=True)
             n_new = new_edges.count()
             rounds = i + 1
             # exact set-equality convergence: equal counts and new \ old = ∅
-            # (both sides distinct) — no checksum collisions, type-agnostic
-            converged = n_new == n_edges and new_edges.exceptAll(edges).isEmpty()
+            # (both sides distinct; left-anti join has the same set
+            # semantics as exceptAll on distinct inputs and a cheaper
+            # physical plan) — no checksum collisions, type-agnostic
+            converged = (
+                n_new == n_edges
+                and new_edges.join(edges, ["u", "v"], "left_anti").isEmpty()
+            )
             edges.unpersist()
             edges = new_edges
             n_edges = n_new
@@ -440,5 +464,6 @@ def connected_components(
         # in executor storage forever
         return labels.localCheckpoint(eager=True)
     finally:
+        e_raw.unpersist()
         nodes.unpersist()
         edges.unpersist()

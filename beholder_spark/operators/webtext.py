@@ -101,11 +101,14 @@ def bounded_small_side(small: DataFrame, row_limit: int | None = None) -> DataFr
             # empty side writes no part files; an empty local relation is
             # semantically exact and costs nothing
             return F.broadcast(spark.createDataFrame([], small.schema))
-    else:
+    # Read back with the EXPLICIT schema: an empty side writes zero part
+    # files, and schema inference over a footerless dir raises on remote
+    # filesystems — the schema is known, so never infer.
+    mat = spark.read.schema(small.schema).parquet(path)
+    if "://" in path:
         # remote FS: footer walk needs the JVM; a count over materialized
         # parquet is metadata-cheap and still never recomputes the side
-        n = spark.read.parquet(path).count()
-    mat = spark.read.parquet(path)
+        n = mat.count()
     if n <= limit:
         return F.broadcast(mat)
     return mat.hint("shuffle_hash")
