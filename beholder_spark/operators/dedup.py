@@ -368,13 +368,15 @@ def connected_components(
     # nodes and edges both derive from this persisted projection, so e.g.
     # a MinHash-LSH pair generation runs once, not once per derived frame.
     e_raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).persist()
-    # every node ever mentioned (incl. self-pair-only nodes) must be output
+    # every node ever mentioned (incl. self-pair-only nodes) must be output.
+    # NOT persisted: consumed exactly once (the final labels join), and its
+    # one computation reads the already-persisted e_raw — caching it would
+    # pin executor storage for the whole round loop with zero reuse.
     nodes = (
         e_raw.select("u")
         .unionByName(e_raw.select(F.col("v").alias("u")))
         .distinct()
         .withColumnRenamed("u", "node")
-        .persist()
     )
     # canonical directed edges big→small, self-loops dropped
     edges = (
@@ -465,5 +467,4 @@ def connected_components(
         return labels.localCheckpoint(eager=True)
     finally:
         e_raw.unpersist()
-        nodes.unpersist()
         edges.unpersist()

@@ -18,6 +18,7 @@ md5-derived and integer-ratio'd so DuckDB oracles match bit-for-bit.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -34,14 +35,23 @@ BROADCAST_ROW_LIMIT = int(os.environ.get("BEHOLDER_BROADCAST_ROW_LIMIT", "100000
 
 _SPILL_ROOT: str | None = None
 _SPILL_SEQ = 0
+# Per-process nonce in every spill subdir: concurrent sessions pointed at
+# ONE shared BEHOLDER_SPILL_DIR must never overwrite each other's live
+# spills (side_00001 restarting per process would collide). Affects only
+# scratch paths, never data values — determinism invariants are untouched.
+_SPILL_NONCE = uuid.uuid4().hex[:12]
 
 
 def _spill_dir(spark) -> str:
-    """Session-scoped scratch dir for guarded small sides. Local default
-    is a pid-scoped tempdir removed at interpreter exit; at cluster scale
-    point ``BEHOLDER_SPILL_DIR`` (or spark.beholder.spillDir) at shared
-    storage (HDFS/S3) so executors can read what the driver-side write
-    job produced."""
+    """Session-scoped scratch dir for guarded small sides. Default is an
+    auto-created pid-scoped local tempdir removed at interpreter exit; at
+    cluster scale point ``BEHOLDER_SPILL_DIR`` (or spark.beholder.spillDir)
+    at SHARED storage (HDFS/S3) so executors and driver see the same
+    files. A USER-PROVIDED root is never deleted — it may pre-exist with
+    unrelated content; only the default tempdir this process itself
+    created registers atexit cleanup. Shared/remote roots accumulate
+    spills until an external TTL policy removes them (deleting shared
+    storage at interpreter exit would race concurrent sessions)."""
     global _SPILL_ROOT, _SPILL_SEQ
     if _SPILL_ROOT is None:
         root = os.environ.get("BEHOLDER_SPILL_DIR")
@@ -51,67 +61,78 @@ def _spill_dir(spark) -> str:
             except Exception:  # noqa: BLE001 — conf key absent
                 root = None
         if not root:
-            import tempfile
-
-            root = os.path.join(tempfile.gettempdir(), f"beholder_spill_{os.getpid()}")
-        _SPILL_ROOT = root
-        if "://" not in root:
             import atexit
             import shutil
+            import tempfile
 
+            root = tempfile.mkdtemp(prefix="beholder_spill_")
             atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SPILL_ROOT = root
     _SPILL_SEQ += 1
-    return os.path.join(_SPILL_ROOT, f"side_{_SPILL_SEQ:05d}")
+    return os.path.join(
+        _SPILL_ROOT, f"side_{os.getpid()}_{_SPILL_NONCE}_{_SPILL_SEQ:05d}"
+    )
 
 
 def bounded_small_side(small: DataFrame, row_limit: int | None = None) -> DataFrame:
     """Materialize-once broadcast guard for derived "small" join sides
     (VERDICT r4 item 4).
 
-    The side is computed EXACTLY ONCE — spilled to a session-scoped
-    temp parquet — and the row count that decides broadcast vs
-    shuffled-hash comes from the written files' footer metadata, not a
-    second computation. The join then reads the materialized table, so
-    at 100 TB a guarded join costs one aggregation over the corpus, not
-    two (the r1–r4 pure count gate recomputed the digest aggregation in
-    the join). The spill keeps the two properties the earlier designs
-    traded away: it is DURABLE (plain parquet — an executor loss
-    re-reads files, unlike localCheckpoint's non-reliable blocks) and
-    UNPINNABLE (a temp dir removed at session end, unlike persist's
-    CacheManager storage which is never safely unpersistable here
-    because the returned frame executes later). The hint makes the
-    fallback shape deterministic; AQE remains the runtime backstop.
-    NOTE: the guard executes the write job at operator-construction
-    time by design — the guard is the point.
+    The side is computed EXACTLY ONCE for the broadcast (common) case:
+    at most ``limit + 1`` rows are spilled to a session-scoped temp
+    parquet — ``df.limit`` bounds the WRITE, so a mis-sized side can
+    never flood a local tmpfs-backed /tmp (the aggregation itself still
+    runs once; its cost is inherent) — and the broadcast-vs-fallback
+    decision counts the written rows, not a second computation. If the
+    count stays ≤ limit the spill IS the complete side and the join
+    broadcasts the materialized table: DURABLE (plain parquet — an
+    executor loss re-reads files, unlike localCheckpoint's non-reliable
+    blocks) and UNPINNABLE (a temp dir removed at session end, unlike
+    persist's CacheManager storage which is never safely unpersistable
+    here because the returned frame executes later). If the spill
+    truncated (> limit rows) the side was too big to broadcast anyway:
+    the incomplete spill is discarded and the ORIGINAL plan joins
+    shuffle-hash-hinted — one recompute, exactly the r1–r4 count-gate
+    cost, paid only in the over-limit case where a full local
+    materialization is the hazard. The hint makes the fallback shape
+    deterministic; AQE remains the runtime backstop. NOTE: the guard
+    executes the write job at operator-construction time by design —
+    the guard is the point.
+
+    The zero-job parquet-footer count only runs when the master is
+    local AND the path is schemeless: on a cluster, a driver-local glob
+    over a non-shared path would see zero files and silently treat a
+    non-empty side as empty (an anti-join that drops nothing — wrong
+    results, no error). Every other configuration counts through a
+    Spark read of the materialized table with the EXPLICIT schema
+    (metadata-cheap, never recomputes the side, and an empty side —
+    zero part files, nothing to infer from — stays a valid empty
+    relation instead of a schema-inference error).
     """
     limit = BROADCAST_ROW_LIMIT if row_limit is None else row_limit
     spark = small.sparkSession
     path = _spill_dir(spark)
-    small.write.mode("overwrite").parquet(path)
-    if "://" not in path:
-        # local path: exact row count straight from the parquet footers —
-        # zero Spark jobs, zero recompute
+    small.limit(limit + 1).write.mode("overwrite").parquet(path)
+    local_master = spark.sparkContext.master.startswith("local")
+    if "://" not in path and local_master:
+        # exact row count straight from the parquet footers — zero jobs
         import glob as _glob
 
         import pyarrow.parquet as _pq
 
-        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        files = _glob.glob(os.path.join(path, "*.parquet"))
         n = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
-        if not files:
-            # empty side writes no part files; an empty local relation is
-            # semantically exact and costs nothing
-            return F.broadcast(spark.createDataFrame([], small.schema))
-    # Read back with the EXPLICIT schema: an empty side writes zero part
-    # files, and schema inference over a footerless dir raises on remote
-    # filesystems — the schema is known, so never infer.
-    mat = spark.read.schema(small.schema).parquet(path)
-    if "://" in path:
-        # remote FS: footer walk needs the JVM; a count over materialized
-        # parquet is metadata-cheap and still never recomputes the side
-        n = mat.count()
-    if n <= limit:
-        return F.broadcast(mat)
-    return mat.hint("shuffle_hash")
+    else:
+        n = spark.read.schema(small.schema).parquet(path).count()
+    if n > limit:
+        # spill truncated at limit+1 — discard it, fall back to the
+        # original plan (recompute) under a deterministic shuffled hash
+        if "://" not in path and local_master:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        return small.hint("shuffle_hash")
+    return F.broadcast(spark.read.schema(small.schema).parquet(path))
 
 # Query parameters that identify a click, not a resource. Shared with the
 # oracle SQL (same regex, same semantics on both engines).

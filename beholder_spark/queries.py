@@ -3195,8 +3195,8 @@ _SWEEP_FIRST = [
 # The two approximate/iterative entries are rows-only BY DOCUMENTED DESIGN
 # (SURVEY §8): the driver records a weaker rows-only check for them; their
 # exactness is covered by independent pytest verifiers
-# (tests/test_pipeline_e2e.py BPE; HLL error-bound tests).  Every other
-# sweep entry must carry a DuckDB oracle twin.
+# (tests/test_pipeline_e2e.py: BPE corpus twin + test_hll_approx_distinct_
+# within_error_bound).  Every other sweep entry must carry a DuckDB oracle twin.
 _SWEEP_ROWS_ONLY = {"approx_distinct_users", "textstats_bpe_tokens"}
 
 

@@ -350,3 +350,31 @@ def test_bpe_matches_independent_implementation_on_corpus(spark):
     for r in pre:
         expected = sum(merge_restart(t) for t in r.toks) if r.toks is not None else None
         assert got[r.doc_id] == expected, r.doc_id
+
+
+def test_hll_approx_distinct_within_error_bound(spark):
+    """Independent verifier for the rows-only `approx_distinct_users`
+    sweep exemption (CLAUDE.md invariant: approximate ops need a pytest
+    verifier, not just a row count): per event_type, the HLL estimate at
+    rsd=0.02 must sit within 10x the requested rsd of the EXACT distinct
+    count (generous deterministic bound; HLL's error is ~rsd with high
+    probability, so a wrong column, wrong rsd argument, or a broken
+    sketch shows up as a gross violation)."""
+    from beholder_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    approx = {
+        r.event_type: r.n_approx
+        for r in QUERIES["approx_distinct_users"][0](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n_exact
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx, "grouping keys must match"
+    for et, n_ex in exact.items():
+        rel_err = abs(approx[et] - n_ex) / max(n_ex, 1)
+        assert rel_err <= 0.2, (et, approx[et], n_ex, rel_err)

@@ -25,10 +25,10 @@ from beholder_spark.operators import multimodal as mm  # noqa: E402
 from beholder_spark.operators import parse as po  # noqa: E402
 
 
-def _fixtures(n: int) -> dict[str, tuple[list[bytes], object]]:
-    """codec -> (payload list, decode callable). Dimensions mirror the
-    oracle queries' derivations so the timed work is the same shape the
-    driver sweep decodes."""
+def _fixtures(n: int) -> dict[str, tuple]:
+    """codec -> (payload list, decode callable[, billed bytes]). Dimensions
+    mirror the oracle queries' derivations so the timed work is the same
+    shape the driver sweep decodes."""
     wav = [mm.make_wav_bytes(i % 2000 + 100) for i in range(n)]
     bmp = [mm.make_bmp_bytes(i % 64 + 8, i % 32 + 8, i % 256) for i in range(n)]
     png = [mm.make_png_bytes(i % 64 + 8, i % 32 + 8, i % 256) for i in range(n)]
@@ -55,10 +55,15 @@ def _fixtures(n: int) -> dict[str, tuple[list[bytes], object]]:
         "jpeg_progressive": (jpr, mm.decode_jpeg_bytes),
         "gif_lzw": (gif, mm.decode_gif_bytes),
         "mp3_meta_walk": (mp3, mm.parse_mp3_meta_bytes),
-        # same work as sample_video_frames' inner loop at every_n=2
+        # same work as sample_video_frames' inner loop at every_n=2.
+        # MB/s must bill only the DECODED bytes (the sampled frames'
+        # JPEG chunks), not the whole container — billing container
+        # bytes against half-the-frames decode time inflated this row
+        # ~2x in the first published table.
         "avi_mjpeg_frames": (
             avi,
             lambda b: [mm.decode_image_bytes(f) for f in mm._avi_video_chunks(b)[::2]],
+            sum(len(f) for b in avi for f in mm._avi_video_chunks(b)[::2]),
         ),
         "warc_records": (warc, lambda b: po._warc_segment_rows(0, b)),
     }
@@ -71,8 +76,11 @@ def main() -> None:
     args = ap.parse_args()
 
     rows = []
-    for name, (payloads, fn) in _fixtures(args.n).items():
-        total_bytes = sum(len(p) for p in payloads)
+    for name, spec in _fixtures(args.n).items():
+        payloads, fn = spec[0], spec[1]
+        # optional third element: billed byte count (when the callable
+        # decodes only part of each payload, e.g. sampled video frames)
+        total_bytes = spec[2] if len(spec) > 2 else sum(len(p) for p in payloads)
         best = float("inf")
         for _ in range(args.runs):
             t0 = time.monotonic()
