@@ -259,3 +259,48 @@ def test_warc_and_codec_queries_ride_the_scan_with_zero_exchange(spark, sf_dir):
         if name != "parse_warc_records":
             explained = df._jdf.queryExecution().toString()
             assert "ReadSchema: struct<doc_id:bigint>" in explained, name
+
+
+def test_broadcast_guard_remote_scheme_count_path(spark, tmp_path, monkeypatch):
+    """The non-footer decision branch (schemed spill root -> count via a
+    Spark read of the materialized table) — never taken by the other
+    guard tests, which all use the local-default root. A file:// root
+    exercises it end-to-end: under the limit the side still broadcasts
+    from the spill, over the limit the original plan falls back, and an
+    empty side survives the explicit-schema read of a footerless dir."""
+    from beholder_spark.operators import webtext as wt
+
+    monkeypatch.setattr(wt, "_SPILL_ROOT", f"file://{tmp_path}/spill")
+
+    big = spark.range(200).select(F.md5(F.col("id").cast("string")).alias("h"))
+    small = spark.range(0, 30, 3).select(F.md5(F.col("id").cast("string")).alias("h"))
+
+    under = big.join(wt.bounded_small_side(small, row_limit=100), "h", "left_anti")
+    plan_under = under._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_under
+    over = big.join(wt.bounded_small_side(small, row_limit=5), "h", "left_anti")
+    plan_over = over._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_over
+    assert sorted(r.h for r in under.collect()) == sorted(r.h for r in over.collect())
+
+    empty = big.filter(F.lit(False))
+    out = big.join(wt.bounded_small_side(empty, row_limit=100), "h", "left_anti")
+    assert out.count() == 200
+
+
+def test_connected_components_plan_is_truncated(spark):
+    """Plan-truncation pin for the star-CC loop: the returned labels
+    frame must be a checkpointed scan, NOT the unrolled round plan —
+    the r5-initial version let the logical plan grow ~10x per round and
+    Catalyst analysis dominated wall-clock (90 s on a 691-pair input).
+    A re-unrolled plan would reintroduce that silently; this asserts the
+    output plan contains no joins or aggregates at all."""
+    from beholder_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    out = dd.connected_components(pairs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan, plan
+    assert out.count() == 41
