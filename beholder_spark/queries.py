@@ -1159,6 +1159,148 @@ def sample_stratified_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
 
 
+# ---------------------------------------------------------------------------
+# Training-batch shaping: sequence packing + token-budget domain mixing
+# (operators/packing.py — new r5)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pack_sequences_windows",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 32 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (
+               ORDER BY shard, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(off AS BIGINT) AS tok_offset,
+           CAST(off // 512 AS BIGINT) AS start_window,
+           CAST(CASE WHEN n_tok > 0 THEN (off + n_tok - 1) // 512
+                     ELSE off // 512 END AS BIGINT) AS end_window,
+           CAST(CASE WHEN n_tok > 0
+                     THEN (off + n_tok - 1) // 512 - off // 512 + 1
+                     ELSE 0 END AS BIGINT) AS n_windows
+    FROM o
+    """,
+)
+def pack_sequences_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (doc → training-window map):
+    deterministic (doc_id % 32, doc_id) layout cut every 512 tokens.
+    Spark side is the two-phase distributed prefix sum (per-shard windows
+    + a 32-row broadcast base-offset table — no global window over the
+    corpus); the oracle re-derives the same layout with one global
+    cumsum, which is only viable at oracle scale."""
+    from beholder_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return packing.pack_sequences(d, "n_tok", capacity=512, shards=32)
+
+
+@_register(
+    "pack_bins_nosplit",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % 32 AS shard,
+             len(string_split(text, ' ')) AS n_tok,
+             row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS rn
+      FROM documents
+    ), packed AS (
+      SELECT shard, rn, doc_id, n_tok,
+             CAST(0 AS BIGINT) AS bin_local, n_tok AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tok,
+             CASE WHEN p.fill + d.n_tok > 512 AND p.fill > 0
+                  THEN p.bin_local + 1 ELSE p.bin_local END,
+             CASE WHEN p.fill + d.n_tok > 512 AND p.fill > 0
+                  THEN d.n_tok ELSE p.fill + d.n_tok END
+      FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(shard * 1099511627776 + bin_local AS BIGINT) AS bin_id,
+           n_tok > 512 AS oversize
+    FROM packed
+    """,
+)
+def pack_bins_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split (SFT-style) bin packing: next-fit fold per shard via
+    applyInPandas — docs never split across training rows, oversize docs
+    flagged. The fold is inherently sequential PER SHARD (scalar state),
+    so the shard is the parallelism unit; the oracle replays the exact
+    fold as a recursive CTE (depth = max docs per shard)."""
+    from beholder_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return packing.pack_bins_nosplit(d, "n_tok", capacity=512, shards=32)
+
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.25, "fr": 0.25, "zh": 0.6}
+_MIX_BUDGET = 8000
+
+
+def _mix_weights_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    return f"CASE lang {whens} ELSE NULL END"
+
+
+@_register(
+    "mix_token_budget_langs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), t AS (
+      SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS tot,
+             {_mix_weights_sql()} * {_MIX_BUDGET}.0 AS bud
+      FROM d GROUP BY lang
+    ), thr AS (
+      SELECT lang,
+             CASE WHEN tot <= bud THEN 'g'
+                  ELSE printf('%08x',
+                       CAST(floor(bud / tot * 4294967296.0) AS BIGINT)) END AS thr
+      FROM t WHERE bud IS NOT NULL
+    )
+    SELECT d.lang AS lang, count(*) AS kept_docs,
+           CAST(sum(d.n_tok) AS BIGINT) AS kept_tok
+    FROM d JOIN thr ON d.lang = thr.lang
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr
+    GROUP BY d.lang
+    """,
+)
+def mix_token_budget_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-ish static domain mixing to a token budget: per-lang keep
+    rates derived IN-PLAN from per-lang token totals (|langs|-row
+    broadcast — no collect, no RNG; md5 decisions shared bit-for-bit
+    with the oracle). zh's share exceeds its corpus total → keep-all
+    branch; es has no weight → dropped; the rest hash-sample at
+    budget/total."""
+    from beholder_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    kept = packing.mix_token_budget(
+        d, "lang", "n_tok", "doc_id", budget=_MIX_BUDGET, weights=_MIX_WEIGHTS
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tok").cast("long").alias("kept_tok"),
+    )
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = (
@@ -3157,14 +3299,19 @@ _SWEEP_FIRST = [
     "dedup_incremental_new_vs_index",
     "dedup_winnow_overlap",
     "dedup_lsh_near_dup",
-    "webtext_url_canonicalize",
+    # r5 session-2 rotation: the NEW training-batch-shaping trio (sequence
+    # packing, no-split bin packing, token-budget mixing — operators/
+    # packing.py) takes the slots of webtext_url_canonicalize /
+    # textstats_script_profile / webtext_repetition (each green in the r3
+    # AND r4 driver sweeps, code untouched this round)
+    "pack_sequences_windows",
+    "pack_bins_nosplit",
+    "mix_token_budget_langs",
     "webtext_span_dedup",
-    "webtext_repetition",
     "webtext_contamination",
     "webtext_pii_redact",
     "curation_pipeline_counts",
     "adaptive_length_filter",
-    "textstats_script_profile",
     "textstats_rare_tokens",
     # multimodal_decode_meta rotated out for multimodal_gif_decode below
     # (decode_meta is green in the r3 driver sweep; the GIF decoder is new)

@@ -61,6 +61,13 @@ REQUIRED_FLAGSHIPS = [
     "multimodal_frame_sample",
     "multimodal_resize_plan",
     "multimodal_feature_stub",
+    # round-5 session-2: the new training-batch-shaping trio
+    # (operators/packing.py) — rotated in for webtext_url_canonicalize /
+    # textstats_script_profile / webtext_repetition (each green in the r3
+    # and r4 driver sweeps)
+    "pack_sequences_windows",
+    "pack_bins_nosplit",
+    "mix_token_budget_langs",
 ]
 
 # Round-5 family representatives.  Families whose 4-round-proven rep was
