@@ -43,8 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# 16**8: the md5-prefix comparison space shared with operators/sample.py
-_HEX_SPACE = 4294967296
+from beholder_spark.operators.sample import _HEX_SPACE, _key_hash
 
 
 def pack_sequences(
@@ -88,14 +87,14 @@ def pack_sequences(
     )
     d = d.join(F.broadcast(bases), "_shard")
     d = d.withColumn("_off", (F.col("_base") + F.col("_local_off")).cast("long"))
+    # last token's offset as a named column so the user's tok_col name
+    # never gets spliced into SQL text (quoting-hostile names stay safe)
+    d = d.withColumn("_last", F.col("_off") + F.col(tok_col) - 1)
     # integer division (`div`), NOT float `/`: token offsets at corpus
     # scale overflow double's 2^53 integer range long before they
     # overflow int64
     start = F.expr(f"_off div {capacity}")
-    end = F.when(
-        F.col(tok_col) > 0,
-        F.expr(f"(_off + {tok_col} - 1) div {capacity}"),
-    ).otherwise(start)
+    end = F.when(F.col(tok_col) > 0, F.expr(f"_last div {capacity}")).otherwise(start)
     return d.select(
         F.col(id_col),
         F.col(tok_col).cast("long").alias("n_tok"),
@@ -138,6 +137,11 @@ def pack_bins_nosplit(
     Returns (id, n_tok, bin_id, oversize) with ``bin_id`` globally
     unique across shards. Deterministic: no RNG anywhere, so the DuckDB
     oracle replays the same fold as a recursive CTE.
+
+    NULL semantics (defined, not crashy): a NULL token count packs as
+    width 0 (same as an empty doc; reported n_tok stays NULL), and
+    NULL ids — whose shard hash is NULL — pack together into a
+    dedicated sentinel shard one past the real ones, ordered last.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
@@ -157,11 +161,13 @@ def pack_bins_nosplit(
     )
 
     def pack_one_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort")
-        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values(id_col, kind="mergesort", na_position="last")
+        sv = pdf["_shard"].iloc[0]
+        shard = shards if pd.isna(sv) else int(sv)
         base = shard * _BIN_STRIDE
+        toks = pdf[tok_col].fillna(0).astype("int64")
         bins, fill, local = [], 0, 0
-        for t in pdf[tok_col].astype("int64"):
+        for t in toks:
             if fill + t > capacity and fill > 0:
                 local += 1
                 fill = 0
@@ -169,10 +175,10 @@ def pack_bins_nosplit(
             bins.append(base + local)
         return pd.DataFrame(
             {
-                id_col: pdf[id_col].astype("int64"),
-                "n_tok": pdf[tok_col].astype("int64"),
+                id_col: pdf[id_col].astype("Int64"),
+                "n_tok": pdf[tok_col].astype("Int64"),
                 "bin_id": pd.Series(bins, dtype="int64", index=pdf.index),
-                "oversize": pdf[tok_col].astype("int64") > capacity,
+                "oversize": toks > capacity,
             }
         )
 
@@ -215,27 +221,25 @@ def mix_token_budget(
         .filter(F.col("_budget").isNotNull())
     )
     # keep-all ⇒ 'g' (sorts above every hex digit); else an 8-hex-digit
-    # threshold — identical construction to sample._threshold_hex, but
-    # in-plan because the rate is data-derived. Spark hex() is
-    # uppercase/unpadded; lower+lpad pins the exact string DuckDB's
-    # printf('%08x') produces.
-    thr = F.when(F.col("_tot") <= F.col("_budget"), F.lit("g")).otherwise(
-        F.lower(
-            F.lpad(
-                F.hex(
-                    F.floor(F.col("_budget") / F.col("_tot") * F.lit(float(_HEX_SPACE)))
-                ),
-                8,
-                "0",
-            )
-        )
+    # threshold — identical construction to sample._threshold_hex
+    # INCLUDING its n >= _HEX_SPACE carry clamp. With THIS operand
+    # order ((bud/tot)*2^32, correctly-rounded IEEE) the carry is
+    # unreachable for bud < tot (rate <= 1-2^-53 so the product caps at
+    # 2^32 - 2^-21, exactly representable), but the clamp stays: it is
+    # bit-identical to the oracle's CASE, and a future re-association
+    # (e.g. bud*2^32/tot) CAN round to 2^32, where hex() grows to NINE
+    # digits and lpad would silently truncate to a ~1/16 threshold.
+    # Spark hex() is uppercase/unpadded; lower+lpad pins the exact
+    # string DuckDB's printf('%08x') produces.
+    n = F.floor(F.col("_budget") / F.col("_tot") * F.lit(float(_HEX_SPACE)))
+    thr = (
+        F.when(F.col("_tot") <= F.col("_budget"), F.lit("g"))
+        .when(n >= F.lit(_HEX_SPACE), F.lit("g"))
+        .otherwise(F.lower(F.lpad(F.hex(n), 8, "0")))
     )
     thresholds = totals.select(strata_col, thr.alias("_thr"))
-    h = F.substring(
-        F.md5(F.coalesce(F.col(key).cast("string"), F.lit("__NULL__"))), 1, 8
-    )
     return (
         df.join(F.broadcast(thresholds), strata_col)
-        .filter(h < F.col("_thr"))
+        .filter(_key_hash(key) < F.col("_thr"))
         .drop("_thr")
     )

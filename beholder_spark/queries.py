@@ -1269,6 +1269,8 @@ def _mix_weights_sql() -> str:
     ), thr AS (
       SELECT lang,
              CASE WHEN tot <= bud THEN 'g'
+                  WHEN floor(bud / tot * 4294967296.0) >= 4294967296
+                       THEN 'g'
                   ELSE printf('%08x',
                        CAST(floor(bud / tot * 4294967296.0) AS BIGINT)) END AS thr
       FROM t WHERE bud IS NOT NULL
@@ -1276,7 +1278,8 @@ def _mix_weights_sql() -> str:
     SELECT d.lang AS lang, count(*) AS kept_docs,
            CAST(sum(d.n_tok) AS BIGINT) AS kept_tok
     FROM d JOIN thr ON d.lang = thr.lang
-    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr
+    WHERE substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '__NULL__')), 1, 8)
+          < thr
     GROUP BY d.lang
     """,
 )

@@ -67,16 +67,35 @@ def test_pack_two_phase_matches_global_cumsum(spark):
 
 
 def test_pack_plan_has_no_corpus_wide_window(spark):
+    import re
+
     d = spark.range(0, 100).select(
         F.col("id").alias("doc_id"), F.lit(5).alias("n_tok")
     )
     out = packing.pack_sequences(d, "n_tok", capacity=16, shards=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the corpus-side prefix window is partitioned by shard...
-    assert "windowspecdefinition(_shard" in plan
+    # the corpus-side prefix window is PARTITIONED by shard: in the spec
+    # rendering, partition columns come before the ORDER BY column, so
+    # `_shard#N, doc_id#M ASC` is the partitioned form. (A bare
+    # `windowspecdefinition(_shard` would also match the intentional
+    # 4-row global base-offset window `_shard#N ASC ...` — not
+    # discriminating.)
+    assert re.search(r"windowspecdefinition\(_shard#\d+L?, \w*doc_id#\d+L? ASC", plan)
+    # the naive corpus-wide form — global ORDER BY (_shard, doc_id), no
+    # partition — must be absent
+    assert not re.search(
+        r"windowspecdefinition\(_shard#\d+L? ASC[^)]*doc_id#\d+L? ASC", plan
+    )
     # ...and the shard base offsets come back via a broadcast equi-join,
     # never a shuffle of the corpus on a single key
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_quoting_hostile_token_column(spark):
+    # tok_col names must never be spliced into SQL text
+    d = spark.createDataFrame([(0, 4), (1, 25)], "doc_id long, `token-count` long")
+    out = packing.pack_sequences(d, "token-count", capacity=10, shards=1)
+    assert _rows(out, "doc_id", "end_window") == [(0, 0), (1, 2)]
 
 
 def test_pack_validates_params(spark):
@@ -172,6 +191,41 @@ def test_mix_branches(spark):
         assert _rows(kept, "doc_id", "lang") == _rows(again, "doc_id", "lang")
     finally:
         kept.unpersist()
+
+
+def test_bins_nosplit_null_semantics(spark):
+    # NULL token count packs as width 0 (n_tok reported NULL); NULL ids
+    # land together in the sentinel shard one past the real ones
+    d = spark.createDataFrame(
+        [(0, 4), (1, None), (2, 6), (None, 3)], "doc_id long, n_tok long"
+    )
+    out = packing.pack_bins_nosplit(d, "n_tok", capacity=10, shards=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_tok"] is None and not rows[1]["oversize"]
+    # doc 0 (shard 0, 4 tok) and doc 2 (shard 0, 6 tok) fill bin 0 of
+    # shard 0; NULL-width doc 1 (shard 1) opens shard 1's bin 0
+    assert rows[0]["bin_id"] == rows[2]["bin_id"] == 0
+    assert rows[1]["bin_id"] == 1 * (1 << 40)
+    # NULL id → sentinel shard index == shards
+    assert rows[None]["bin_id"] == 2 * (1 << 40)
+
+
+def test_mix_boundary_rate_maximal_without_carry(spark):
+    # The tightest sub-1.0 rate doubles allow: tot = 2^53, bud = 2^53-1
+    # → rate = 1 - 2^-53, product = 2^32 - 2^-21 (exactly representable,
+    # so floor = 0xffffffff — an 8-digit threshold, no 9-digit carry;
+    # see the operand-order analysis in mix_token_budget). Every md5
+    # prefix of ids 0..3 sorts below 'ffffffff', so all rows are kept;
+    # a truncated-threshold regression ('10000000') would drop them.
+    tot = 1 << 53
+    budget = (1 << 54) - 2  # bud = 0.5 * budget = 2^53 - 1 < tot
+    d = spark.createDataFrame(
+        [(i, "x", tot // 4) for i in range(4)], "doc_id long, lang string, n_tok long"
+    )
+    kept = packing.mix_token_budget(
+        d, "lang", "n_tok", "doc_id", budget=budget, weights={"x": 0.5}
+    )
+    assert kept.count() == 4
 
 
 def test_mix_null_key_rides_sentinel(spark):
