@@ -222,6 +222,11 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
         "parse_warc_records",
         "multimodal_jpeg_decode",
         "multimodal_gif_decode",
+        # r5 training-batch shaping (two-phase prefix sum / per-shard
+        # applyInPandas fold / in-plan derived mixing rates)
+        "pack_sequences_windows",
+        "pack_bins_nosplit",
+        "mix_token_budget_langs",
     ]
     runs_per = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
     ref = CALIB_REF["spark_parse_sec"]
