@@ -3255,6 +3255,199 @@ def config_internal_log_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LM-data curation trio (operators/lmdata.py): CCNet-style perplexity
+# quality screen, ExactSubstr repeated-span removal, DSIR resampling
+# ---------------------------------------------------------------------------
+
+from beholder_spark.operators import lmdata  # noqa: E402
+
+
+@_register(
+    "lm_perplexity_scores",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    ref AS (
+      SELECT * FROM d
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+    ),
+    rbg AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM ref, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    cb AS (SELECT w1, w2, count(*) AS c_bg FROM rbg GROUP BY 1, 2),
+    cc AS (SELECT w1, count(*) AS c_ctx FROM rbg GROUP BY 1),
+    vs AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM ref)
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    lp AS (
+      SELECT bg.doc_id,
+             ln((coalesce(cb.c_bg, 0) + 1) / (coalesce(cc.c_ctx, 0) + vs.v)) AS lp
+      FROM bg
+      LEFT JOIN cb USING (w1, w2)
+      LEFT JOIN cc USING (w1)
+      CROSS JOIN vs
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(-avg(lp), 4) AS cross_entropy,
+           round(exp(-avg(lp)), 3) AS ppl
+    FROM lp
+    GROUP BY doc_id
+    """,
+)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality screen (lmdata.train_bigram_lm +
+    score_perplexity): an add-one bigram LM is TRAINED IN SPARK on a
+    deterministic md5 80% reference split, then every document is scored
+    by cross-entropy/perplexity under it. The LM is two hash aggregates;
+    scoring is two left equi-joins + one per-doc aggregate — no Python,
+    no KenLM blob, AQE-skew-safe token keys. The oracle retrains the
+    identical LM from first principles (same md5 split, same smoothing)
+    so the hash match covers train AND score."""
+    from beholder_spark.operators import sample
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).filter(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    ref = sample.sample_hash(d, "doc_id", 0.8)
+    cb, cc, vs = lmdata.train_bigram_lm(ref, "text")
+    return lmdata.score_perplexity(d, cb, cc, vs, "doc_id", "text")
+
+
+@_register(
+    "lm_repeated_span_removal",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5('s:' || list_aggr(toks[i:i+7], 'string_agg', ' ')) AS gram_h
+      FROM d, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+    ),
+    dup AS (SELECT gram_h FROM g GROUP BY gram_h HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + o AS cpos
+      FROM g JOIN dup USING (gram_h), UNNEST(generate_series(0, 7)) AS s(o)
+    ),
+    tokpos AS (
+      SELECT doc_id, i AS pos, toks[i] AS w
+      FROM d, UNNEST(generate_series(1, len(toks))) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.w
+      FROM tokpos t
+      LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+      WHERE c.cpos IS NULL
+    ),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(d.toks) AS n_tokens,
+           len(d.toks) - coalesce(ka.n_kept, 0) AS n_removed,
+           coalesce(ka.text_clean, '') AS text_clean
+    FROM d LEFT JOIN ka USING (doc_id)
+    """,
+)
+def lm_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal, Lee et al. 2022 semantics
+    (lmdata.remove_repeated_spans): every 8-token window occurring ≥2
+    times corpus-wide (intra- OR inter-document) is excised from every
+    document it touches; survivors re-join in order. Suffix-array-free
+    Spark shape: k-gram explode → count on the md5 gram key → coverage
+    join back → per-doc JVM token filter. All-integer/string output —
+    the oracle rebuilds coverage through an independent position-join
+    formulation, so a hash match proves the span arithmetic, not just
+    the counts."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = lmdata.remove_repeated_spans(d, "doc_id", "text", k=8, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        "text_clean",
+    )
+
+
+@_register(
+    "dsir_resample_en",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('u:' || f), 1, 4))::BIGINT % 64 AS bucket
+      FROM (SELECT doc_id, lang, unnest(toks) AS f FROM d)
+    ),
+    bi AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('b:' || toks[i] || ' ' || toks[i+1]), 1, 4))::BIGINT % 64 AS bucket
+      FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    tcounts AS (SELECT bucket, count(*) AS t_b FROM feats WHERE lang = 'en' GROUP BY 1),
+    rcounts AS (SELECT bucket, count(*) AS r_b FROM feats GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM feats WHERE lang = 'en') AS t_tot,
+                   (SELECT count(*) FROM feats) AS r_tot),
+    lam AS (
+      SELECT s.bucket,
+             ln((coalesce(t.t_b, 0) + 0.5) / (tot.t_tot + 32.0))
+             - ln((coalesce(r.r_b, 0) + 0.5) / (tot.r_tot + 32.0)) AS lam
+      FROM (SELECT unnest(generate_series(0, 63)) AS bucket) s
+      LEFT JOIN tcounts t USING (bucket)
+      LEFT JOIN rcounts r USING (bucket)
+      CROSS JOIN tot
+    ),
+    w AS (
+      SELECT f.doc_id, count(*) AS n_feats, round(sum(l.lam), 4) AS logw
+      FROM feats f JOIN lam l USING (bucket)
+      GROUP BY f.doc_id
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.lang, w.n_feats, w.logw,
+             round(w.logw - ln(-ln(
+               (('0x' || substr(md5('g:' || CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT + 0.5)
+               / 16777216.0)), 4) AS gumbel
+      FROM (SELECT doc_id, lang FROM d) d JOIN w USING (doc_id)
+    )
+    SELECT doc_id, lang, n_feats, logw, gumbel,
+           (row_number() OVER (PARTITION BY lang ORDER BY gumbel DESC, doc_id)
+            <= ceil(count(*) OVER (PARTITION BY lang) * 0.25)) AS selected
+    FROM keyed
+    """,
+)
+def dsir_resample_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward an English target (Xie et al.
+    2023; lmdata.dsir_resample): hashed unigram+bigram features (64 md5
+    buckets), per-bucket target/raw log-ratios on a dense bucket spine,
+    per-doc importance weight via a BROADCAST join against the 64-row λ
+    table, then Gumbel-top-25%-per-language selection where the Gumbel
+    noise is an md5 uniform — true weighted sampling (Gumbel-max trick),
+    zero rand(), fully oracle-reproducible. Rank windows partition by
+    lang, so no single-partition global sort exists in the plan."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return lmdata.dsir_resample(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text",
+        strata_col="lang", n_buckets=64, quota=0.25,
+    )
+
+
 _SWEEP_FIRST = [
     # flagship + parse family (P1 syslog rotated out r5 — green r1-r4;
     # fieldpack is the r3 flagship, WARC the r4 one)
