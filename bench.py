@@ -227,6 +227,11 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
         "pack_sequences_windows",
         "pack_bins_nosplit",
         "mix_token_budget_langs",
+        # r5 LM-data curation (Spark-trained bigram LM scoring / corpus-
+        # wide repeated-span mask / DSIR md5-Gumbel resampling)
+        "lm_perplexity_scores",
+        "lm_repeated_span_removal",
+        "dsir_resample_en",
     ]
     runs_per = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
     ref = CALIB_REF["spark_parse_sec"]
