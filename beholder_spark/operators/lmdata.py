@@ -145,6 +145,45 @@ def score_perplexity(
     )
 
 
+def ppl_bucket_split(
+    scored: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    ppl_col: str = "ppl",
+) -> DataFrame:
+    """CCNet head/middle/tail split: per stratum (language), documents are
+    bucketed into the lowest-/middle-/highest-perplexity thirds — the
+    split CCNet uses to stage quality-tiered training corpora.
+
+    THRESHOLD-based, not rank-based: per-stratum tercile cutoffs come from
+    one exact ``percentile`` aggregate (p·(n−1) linear interpolation —
+    DuckDB's ``quantile_cont`` computes the identical formula, so the
+    4dp-rounded cutoffs match bit-for-bit), then assignment is a broadcast
+    join + codegen CASE.  A rank window partitioned by language would put
+    ALL of 'en' in ONE task at 100 TB; thresholds keep the heavy side
+    embarrassingly parallel.  Memory note: Spark's exact percentile holds
+    a value→count map per stratum — bounded here because ``ppl`` lives on
+    a 3dp grid, so distinct values ≪ rows.
+
+    Docs whose ppl equals a cutoff land in the lower bucket on both
+    engines (``<=`` on the shared 4dp grid).  Output:
+    ``(id, stratum, ppl, ppl_bucket)``.
+    """
+    cuts = scored.groupBy(strata_col).agg(
+        F.round(F.expr(f"percentile({ppl_col}, 1.0D/3.0D)"), 4).alias("c1"),
+        F.round(F.expr(f"percentile({ppl_col}, 2.0D/3.0D)"), 4).alias("c2"),
+    )
+    return scored.join(F.broadcast(cuts), strata_col).select(
+        id_col,
+        strata_col,
+        ppl_col,
+        F.when(F.col(ppl_col) <= F.col("c1"), F.lit("head"))
+        .when(F.col(ppl_col) <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. exact repeated-substring span removal (ExactSubstr, Lee et al. 2022)
 # ---------------------------------------------------------------------------

@@ -3384,6 +3384,84 @@ def lm_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lm_ppl_bucket_split",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    ref AS (
+      SELECT * FROM d
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+    ),
+    rbg AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM ref, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    cb AS (SELECT w1, w2, count(*) AS c_bg FROM rbg GROUP BY 1, 2),
+    cc AS (SELECT w1, count(*) AS c_ctx FROM rbg GROUP BY 1),
+    vs AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM ref)
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    lp AS (
+      SELECT bg.doc_id,
+             ln((coalesce(cb.c_bg, 0) + 1) / (coalesce(cc.c_ctx, 0) + vs.v)) AS lp
+      FROM bg
+      LEFT JOIN cb USING (w1, w2)
+      LEFT JOIN cc USING (w1)
+      CROSS JOIN vs
+    ),
+    s AS (
+      SELECT doc_id, round(exp(-avg(lp)), 3) AS ppl
+      FROM lp GROUP BY doc_id
+    ),
+    sl AS (
+      SELECT s.doc_id, dl.lang, s.ppl
+      FROM s JOIN (SELECT doc_id, lang FROM d) dl USING (doc_id)
+    ),
+    cuts AS (
+      SELECT lang,
+             round(quantile_cont(ppl, 1.0/3), 4) AS c1,
+             round(quantile_cont(ppl, 2.0/3), 4) AS c2
+      FROM sl GROUP BY lang
+    )
+    SELECT sl.doc_id, sl.lang, sl.ppl,
+           CASE WHEN sl.ppl <= c.c1 THEN 'head'
+                WHEN sl.ppl <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM sl JOIN cuts c USING (lang)
+    """,
+)
+def lm_ppl_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (lmdata.ppl_bucket_split over
+    lmdata.score_perplexity): per-language tercile cutoffs of LM
+    perplexity via ONE exact percentile aggregate (p·(n−1) interpolation,
+    identical to DuckDB quantile_cont on the shared 3dp ppl grid), then a
+    broadcast-join CASE assignment. Threshold-based on purpose: a rank
+    window PARTITION BY lang would put all of 'en' in one task at 100 TB,
+    the cutoff aggregate keeps the heavy side embarrassingly parallel.
+    The oracle retrains the LM, rescores, and re-derives the cutoffs from
+    first principles, so the hash match covers train + score + split."""
+    from beholder_spark.operators import sample
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).filter(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    ref = sample.sample_hash(d, "doc_id", 0.8)
+    cb, cc, vs = lmdata.train_bigram_lm(ref, "text")
+    scored = lmdata.score_perplexity(d, cb, cc, vs, "doc_id", "text")
+    return lmdata.ppl_bucket_split(
+        scored.join(d.select("doc_id", "lang"), "doc_id"), "lang", "doc_id", "ppl"
+    )
+
+
+@_register(
     "dsir_resample_en",
     """
     WITH d AS (

@@ -232,6 +232,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
         "lm_perplexity_scores",
         "lm_repeated_span_removal",
         "dsir_resample_en",
+        "lm_ppl_bucket_split",
     ]
     runs_per = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
     ref = CALIB_REF["spark_parse_sec"]

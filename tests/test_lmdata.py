@@ -98,6 +98,70 @@ def test_perplexity_excludes_sub_bigram_docs(spark):
     assert set(out) == {1}  # the 1-token doc has no bigram evidence
 
 
+def _py_tercile_cuts(vals: list[float]) -> tuple[float, float]:
+    """Independent reference: continuous quantile, p·(n−1) interpolation
+    (the formula both Spark ``percentile`` and DuckDB ``quantile_cont``
+    implement)."""
+    s = sorted(vals)
+
+    def q(p: float) -> float:
+        pos = p * (len(s) - 1)
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, len(s) - 1)
+        return round(s[lo] + (s[hi] - s[lo]) * (pos - lo), 4)
+
+    return q(1.0 / 3), q(2.0 / 3)
+
+
+def test_ppl_bucket_split_matches_python_reference(spark):
+    ppls = {
+        "en": {0: 3.2, 1: 8.1, 2: 1.5, 3: 12.9, 4: 5.5, 5: 7.7, 6: 2.2},
+        "de": {10: 4.4, 11: 9.9, 12: 4.4},  # tie ON a cutoff → lower bucket
+        "fr": {20: 6.0},                    # singleton stratum → head
+    }
+    rows = [(i, lang, p) for lang, m in ppls.items() for i, p in m.items()]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = _by_id(
+        lmdata.ppl_bucket_split(scored, "lang", "doc_id", "ppl"),
+        "doc_id", "lang", "ppl", "ppl_bucket",
+    )
+    assert set(out) == {i for m in ppls.values() for i in m}
+    for lang, m in ppls.items():
+        c1, c2 = _py_tercile_cuts(list(m.values()))
+        for i, p in m.items():
+            want = "head" if p <= c1 else ("middle" if p <= c2 else "tail")
+            assert out[i] == (lang, p, want), (i, c1, c2)
+    # buckets are ordered: every head ppl <= every middle <= every tail
+    by_lang_bucket: dict[tuple[str, str], list[float]] = {}
+    for lang, p, b in out.values():
+        by_lang_bucket.setdefault((lang, b), []).append(p)
+    for lang in ppls:
+        h = by_lang_bucket.get((lang, "head"), [])
+        m_ = by_lang_bucket.get((lang, "middle"), [])
+        t = by_lang_bucket.get((lang, "tail"), [])
+        if h and m_:
+            assert max(h) <= min(m_)
+        if m_ and t:
+            assert max(m_) <= min(t)
+    # the singleton stratum degenerates to head (c1 = c2 = its own ppl)
+    assert out[20] == ("fr", 6.0, "head")
+
+
+def test_ppl_bucket_split_plan_has_no_window(spark):
+    # the split must be threshold-based: a rank window PARTITION BY lang
+    # would single-task each language at scale — assert it never appears,
+    # and that the 1-row-per-lang cutoff table joins broadcast
+    scored = spark.range(0, 90).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("id") % 13).cast("double").alias("ppl"),
+    )
+    out = lmdata.ppl_bucket_split(scored, "lang", "doc_id", "ppl")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 # ---------------------------------------------------------------------------
 # repeated-span removal
 # ---------------------------------------------------------------------------
